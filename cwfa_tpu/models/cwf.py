@@ -1,0 +1,227 @@
+"""Conditional Wavelet Flow steps as statically composed invertible functions.
+
+Replaces the reference's per-step FrEIA ``GraphINN`` graphs
+(networks.py:264-368 ``conditional_wavelet_flow`` + the graph interpreter in
+FrEIA/framework/graph_inn.py:242-326) with fixed function composition that
+jit-compiles into a single XLA program.
+
+Per-step graph (reference networks.py:305-366), for step k on a volume with
+D = n_depths/2^k depth-channels:
+
+  fwd:  v --Haar1D--> [avg | diff] --Split-->  avg  (to next step)
+        diff --CAT_first(c_mean, c_views)--> x0
+        for nn = 1..n_blocks:
+            x --Permute(nn)--> --Coupling(c_views)--> x
+        [--PermuteRandom--]  (if INN_use_perm)
+        outputs (z, avg), logdet
+
+  rev   inverts the chain; ``avg`` is the upsampled volume from the coarser
+        step, z is sampled (zeros at temperature 0, CWFA.py:47-64).
+
+Condition wiring (verified against the reference graph construction):
+- GraphINN's condition list order is [Condition I, Condition] (append order at
+  networks.py:333-335); run_CWFA passes c = [cond_net(views), mean_cache]
+  (CWFA.py:893-899), so "Condition I" carries the processed views and
+  "Condition" the mean-volume cache.
+- The input ConditionalAffineTransform receives conditions=[Condition,
+  Condition I] (networks.py:336-339), concatenated as [mean_cache | views]
+  — its ``_first`` subnet splits them back into (low_res_up_grad, cond)
+  (networks.py:656-671).
+- The n_blocks coupling blocks condition on cond[-1] = Condition I = views
+  (networks.py:347-350).
+- With --disable_low_res_input there is a single condition; at reverse time
+  run_CWFA feeds the upsampled volume itself as that condition
+  (CWFA.py:897-901).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cwfa_tpu import nn as cnn
+from cwfa_tpu.flow import coupling as fc
+from cwfa_tpu.flow import subnets as fs
+from cwfa_tpu.flow.haar import haar1d_split, haar1d_merge
+from cwfa_tpu.flow.permute import (
+    ReferencePermReplayer, apply_channel_perm, apply_spatial_perm)
+
+
+@dataclass(frozen=True)
+class CWFStepSpec:
+    """Static description of one CWF pyramid step (flow on the differences)."""
+    step: int                       # k = 0..n_steps-2
+    d_in: int                       # depth-channels of the input volume
+    spatial: int                    # H = W
+    n_blocks: int = 4
+    block_type: str = "CAT"         # CAT | RNVP | GLOW | GIN | NICE | AI1
+    internal_ch: int = 64
+    use_bias: bool = True
+    clamp: float = 2.0
+    clamp_activation: str = "ATAN"
+    use_final_perm: bool = True
+    disable_low_res_input: bool = False
+    # permutation specs from ReferencePermReplayer; tuples of numpy arrays.
+    perms: tuple = field(default_factory=tuple, hash=False, compare=False)
+
+    @property
+    def c_flow(self) -> int:        # differences channel count
+        return self.d_in // 2
+
+
+def build_step_specs(n_depths: int, spatial: int, n_flow_steps: int,
+                     n_blocks: int, block_type: str, internal_ch: int,
+                     use_bias: bool, use_final_perm: bool,
+                     disable_low_res_input: bool, global_seed: int,
+                     clamp: float = 2.0, clamp_activation: str = "ATAN"):
+    """Build specs for flow steps k = 0..n_flow_steps-1 with reference-parity
+    permutations (the replayer walks the numpy RNG exactly like run_CWFA's
+    sequence of conditional_wavelet_flow calls, CWFA.py:478-510)."""
+    replayer = ReferencePermReplayer(global_seed)
+    specs = []
+    for k in range(n_flow_steps):
+        perms = replayer.build_factory_call(
+            n_down_steps=k + 1, n_depths=n_depths, spatial_size=spatial,
+            n_blocks=n_blocks, use_final_perm=use_final_perm)
+        specs.append(CWFStepSpec(
+            step=k, d_in=n_depths // (2 ** k), spatial=spatial,
+            n_blocks=n_blocks, block_type=block_type, internal_ch=internal_ch,
+            use_bias=use_bias, use_final_perm=use_final_perm,
+            disable_low_res_input=disable_low_res_input,
+            perms=tuple(perms), clamp=clamp, clamp_activation=clamp_activation))
+    return specs
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+
+def _init_coupling_block(key, spec: CWFStepSpec):
+    """One nn-block coupling of the chosen type, conditioned on c_views
+    (n = c_flow channels)."""
+    n = spec.c_flow
+    cond_len = n
+    bt = spec.block_type
+    mk = lambda k_, ci, co: fs.init_wavelet_flow_subnet2d(
+        k_, ci, co, n_ch=spec.internal_ch, use_bias=spec.use_bias)
+    l1, l2 = n // 2, n - n // 2
+    ks = cnn.key_iter(key)
+    if bt == "CAT":
+        return {"subnet": mk(next(ks), cond_len, 2 * n)}
+    if bt == "RNVP":
+        return {"s1": mk(next(ks), l1 + cond_len, l2),
+                "t1": mk(next(ks), l1 + cond_len, l2),
+                "s2": mk(next(ks), l2 + cond_len, l1),
+                "t2": mk(next(ks), l2 + cond_len, l1)}
+    if bt in ("GLOW", "GIN"):
+        return {"subnet1": mk(next(ks), l1 + cond_len, 2 * l2),
+                "subnet2": mk(next(ks), l2 + cond_len, 2 * l1)}
+    if bt == "NICE":
+        return {"F": mk(next(ks), l2 + cond_len, l1),
+                "G": mk(next(ks), l1 + cond_len, l2)}
+    if bt == "AI1":
+        sl1 = n - n // 2
+        return {"aio": fc.init_all_in_one_block(next(ks), n),
+                "subnet": mk(next(ks), sl1 + cond_len, 2 * (n // 2))}
+    raise ValueError(f"unknown block type {bt!r}")
+
+
+def init_cwf_step(key, spec: CWFStepSpec):
+    """Parameters: input CAT block + n_blocks couplings."""
+    ks = cnn.key_iter(key)
+    n = spec.c_flow
+    if spec.disable_low_res_input:
+        inp = {"subnet": fs.init_wavelet_flow_subnet2d(
+            next(ks), n, 2 * n, n_ch=spec.internal_ch, use_bias=spec.use_bias)}
+    else:
+        inp = {"subnet": fs.init_wavelet_flow_subnet2d_first(
+            next(ks), 2 * n, 2 * n, n_ch=spec.internal_ch,
+            use_bias=spec.use_bias)}
+    blocks = [_init_coupling_block(next(ks), spec)
+              for _ in range(spec.n_blocks)]
+    return {"input_block": inp, "blocks": blocks}
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+
+def _apply_perm(spec_entry, x, inverse: bool):
+    if spec_entry[0] == "channel":
+        _, perm, inv = spec_entry
+        return apply_channel_perm(x, inv if inverse else perm)
+    _, axis, perm, inv = spec_entry
+    return apply_spatial_perm(x, axis, inv if inverse else perm)
+
+
+def _input_block(spec: CWFStepSpec, params, x, c_views, c_mean, rev):
+    """Input ConditionalAffineTransform; conditions concatenated as
+    [mean_cache | views] (see module docstring)."""
+    if spec.disable_low_res_input:
+        subnet = (fs.wavelet_flow_subnet2d, params["input_block"]["subnet"])
+        conds = (c_views,)
+    else:
+        subnet = (fs.wavelet_flow_subnet2d_first, params["input_block"]["subnet"])
+        conds = (c_mean, c_views)
+    return fc.cat_transform(subnet[0], subnet[1], x, conds, rev=rev,
+                            clamp=spec.clamp,
+                            clamp_activation=spec.clamp_activation)
+
+
+def _coupling(spec: CWFStepSpec, bp, x, c_views, rev):
+    bt = spec.block_type
+    conds = (c_views,)
+    if bt == "CAT":
+        return fc.cat_transform(fs.wavelet_flow_subnet2d, bp["subnet"], x,
+                                conds, rev=rev, clamp=spec.clamp,
+                                clamp_activation=spec.clamp_activation)
+    if bt in ("RNVP", "GLOW", "GIN", "NICE"):
+        subnets = {k: (fs.wavelet_flow_subnet2d, v) for k, v in bp.items()}
+        return fc.two_sided_coupling(bt, subnets, x, conds, rev=rev,
+                                     clamp=spec.clamp,
+                                     clamp_activation=spec.clamp_activation)
+    if bt == "AI1":
+        return fc.all_in_one_block(bp["aio"],
+                                   (fs.wavelet_flow_subnet2d, bp["subnet"]),
+                                   x, conds, rev=rev, clamp=spec.clamp)
+    raise ValueError(bt)
+
+
+def cwf_step_forward(spec: CWFStepSpec, params, v, c_views, c_mean):
+    """Normalizing direction: volume -> (z, averages, logdet).
+
+    v: (B, D, H, W); c_views/c_mean: (B, D/2, H, W).
+    """
+    avg, diff, ld = haar1d_split(v)
+    logdet = ld
+    x, j = _input_block(spec, params, diff, c_views, c_mean, rev=False)
+    logdet = logdet + j
+    for nn in range(1, spec.n_blocks + 1):
+        x = _apply_perm(spec.perms[nn - 1], x, inverse=False)
+        x, j = _coupling(spec, params["blocks"][nn - 1], x, c_views, rev=False)
+        logdet = logdet + j
+    if spec.use_final_perm:
+        x = _apply_perm(spec.perms[spec.n_blocks], x, inverse=False)
+    return x, avg, logdet
+
+
+def cwf_step_reverse(spec: CWFStepSpec, params, z, avg, c_views, c_mean):
+    """Generative direction: (z, averages) -> (volume, logdet)."""
+    x = z
+    logdet = jnp.zeros((z.shape[0],), jnp.float32)
+    if spec.use_final_perm:
+        x = _apply_perm(spec.perms[spec.n_blocks], x, inverse=True)
+    for nn in range(spec.n_blocks, 0, -1):
+        x, j = _coupling(spec, params["blocks"][nn - 1], x, c_views, rev=True)
+        logdet = logdet + j
+        x = _apply_perm(spec.perms[nn - 1], x, inverse=True)
+    x, j = _input_block(spec, params, x, c_views, c_mean, rev=True)
+    logdet = logdet + j
+    v, ld = haar1d_merge(avg, x)
+    return v, logdet + ld

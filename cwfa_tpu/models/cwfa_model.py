@@ -1,0 +1,205 @@
+"""Full CWFA model: LRNN + chain of CWF flow steps + condition networks.
+
+Static container of specs whose methods are pure functions of (params, state,
+inputs) — the whole forward-NLL pyramid and the whole inverse reconstruction
+chain each trace into a single XLA program.
+
+Structure for the default config (n_depths=96, 5 pyramid steps):
+  flow steps k=0..3 on volumes of 96/2^k depth-channels (specs/params lists),
+  cond nets k=0..3 mapping 29 views -> 96/2^{k+1} channels,
+  LRNN producing the coarsest 6-depth volume from views + mean-volume prior.
+
+Reference mapping: run_CWFA network construction (CWFA.py:472-526),
+evaluate_INN_forward (CWFA.py:134-196), reverse reconstruction loop
+(CWFA.py:865-927).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from cwfa_tpu import nn as cnn
+from cwfa_tpu.config import CWFAConfig
+from cwfa_tpu.models.cond_net import init_cond_network, cond_network
+from cwfa_tpu.models.cwf import (
+    CWFStepSpec, build_step_specs, init_cwf_step, cwf_step_forward,
+    cwf_step_reverse)
+from cwfa_tpu.models.lrnn import LRNNSpec, init_lrnn, lrnn
+
+
+def sample_z_truncated(key, shape, temperature: float, dtype=jnp.float32):
+    """z sampling (reference CWFA.py:47-64): zeros at temperature 0, else a
+    std-1 normal truncated to [-T, T] (utils.py:42-82)."""
+    if temperature == 0:
+        return jnp.zeros(shape, dtype)
+    return jax.random.truncated_normal(
+        key, -temperature, temperature, shape, dtype)
+
+
+def check_empty_depths(key, vol):
+    """Add sigma=1e-3 noise to all-constant depth slices (CWFA.py:84-96),
+    protecting ActNorm/std==0 paths."""
+    empty = jnp.std(vol, axis=(2, 3), keepdims=True) == 0
+    noise = 0.001 * jax.random.normal(key, vol.shape, vol.dtype)
+    return jnp.where(empty, vol + noise, vol)
+
+
+@dataclass(frozen=True)
+class CWFAModel:
+    cfg: CWFAConfig
+    step_specs: tuple          # CWFStepSpec for k = 0..n_flow-1
+    lrnn_spec: LRNNSpec
+
+    # ---------------------------------------------------------------- build
+    @classmethod
+    def build(cls, cfg: CWFAConfig) -> "CWFAModel":
+        n_flow = cfg.INN_max_down_steps - 1
+        specs = build_step_specs(
+            n_depths=cfg.n_depths, spatial=cfg.volume_side_size,
+            n_flow_steps=n_flow, n_blocks=cfg.INN_n_blocks,
+            block_type=cfg.INN_block_type, internal_ch=cfg.INN_internal_chans,
+            use_bias=bool(cfg.INN_use_bias),
+            use_final_perm=cfg.INN_use_perm == 1,
+            disable_low_res_input=bool(cfg.disable_low_res_input),
+            global_seed=cfg.seed)
+        lrnn_spec = LRNNSpec(
+            ch_in=29, n_depths=cfg.n_depths // (2 ** n_flow),
+            spatial=cfg.volume_side_size, use_bias=bool(cfg.INN_use_bias))
+        return cls(cfg=cfg, step_specs=tuple(specs), lrnn_spec=lrnn_spec)
+
+    @property
+    def n_flow_steps(self) -> int:
+        return len(self.step_specs)
+
+    def init(self, key):
+        ks = cnn.key_iter(key)
+        flow = [init_cwf_step(next(ks), s) for s in self.step_specs]
+        cond = [init_cond_network(next(ks), 29,
+                                  self.cfg.n_depths // (2 ** (k + 1)),
+                                  chans_3d=self.cfg.INN_cond_chans)
+                for k in range(self.n_flow_steps)]
+        lrnn_params, lrnn_state = init_lrnn(next(ks), self.lrnn_spec)
+        params = {"flow": flow, "cond": cond, "lrnn": lrnn_params}
+        state = {"lrnn": lrnn_state}
+        return params, state
+
+    # ------------------------------------------------------------- forward
+    def forward_pyramid(self, params, gt_volume, mean_caches=None):
+        """evaluate_INN_forward (CWFA.py:134-196): run all flow steps in the
+        normalizing direction with ZERO conditions (the reference's forward
+        pyramid is unconditional in effect, CWFA.py:167-177; extra_cond_in is
+        the mean cache when provided).
+
+        Returns (nll_per_step, gt_cache, prior_errors, log_jacobians) where
+        gt_cache[k] is the pyramid volume at level k (gt_cache[0] = input).
+        """
+        b = gt_volume.shape[0]
+        hw = gt_volume.shape[2:]
+        gt_cache = [gt_volume]
+        nlls, priors, logjacs = [], [], []
+        v = gt_volume
+        for k, spec in enumerate(self.step_specs):
+            cshape = (b, spec.c_flow) + hw
+            c_views = jnp.zeros(cshape, v.dtype)
+            if mean_caches is not None:
+                c_mean = mean_caches[k]
+            else:
+                c_mean = jnp.zeros(cshape, v.dtype)
+            z, avg, logdet = cwf_step_forward(spec, params["flow"][k], v,
+                                              c_views, c_mean)
+            zf = z.astype(jnp.float32)
+            prior = 0.5 * jnp.sum(zf ** 2)
+            numel = float(avg.size)
+            # reference CWFA.py:189-192: (0.5*||Z||^2 - logdet)/numel(Z[-1]),
+            # then .mean() over the batch-shaped logdet
+            nlls.append(jnp.mean((prior - logdet) / numel))
+            priors.append(prior / numel)
+            logjacs.append(jnp.mean(logdet) / numel)
+            v = avg
+            gt_cache.append(v)
+        return nlls, gt_cache, priors, logjacs
+
+    def step_nll(self, params, k, gt_level, c_views, c_mean):
+        """Conditioned NLL of one flow step for training (CWFA.py:966-978):
+        re-encode the GT level with the real conditions."""
+        spec = self.step_specs[k]
+        z, avg, logdet = cwf_step_forward(spec, params["flow"][k], gt_level,
+                                          c_views, c_mean)
+        zf = z.astype(jnp.float32)
+        prior = 0.5 * jnp.sum(zf ** 2)
+        # reference CWFA.py:978: (0.5*||Z||^2 - logdet.mean())/numel of the
+        # upsampled (= full gt_level) volume
+        return (prior - jnp.mean(logdet)) / float(gt_level.size), (z, avg)
+
+    # ------------------------------------------------------------- reverse
+    def run_cond_net(self, params, k, cond_input, *, train=False, rng=None):
+        return cond_network(params["cond"][k], cond_input, train=train, rng=rng)
+
+    def run_lrnn(self, params, state, cond_input, mean_vol, *, train=False,
+                 rng=None):
+        return lrnn(self.lrnn_spec, params["lrnn"], state["lrnn"], cond_input,
+                    mean_vol, train=train, rng=rng)
+
+    def reconstruct(self, params, state, cond_input, mean_caches, *,
+                    z_temperature: float = 0.0, rng=None, train: bool = False,
+                    n_samples: int = 1, return_pyramid: bool = False):
+        """Full generative chain (CWFA.py:865-927): LRNN at the coarsest
+        level, then invert flow steps k = n-1..0, doubling depth each time.
+
+        cond_input: normalized views (B, 29, H, W).
+        mean_caches: per-level mean-volume difference caches, index k used as
+          the flow condition at step k; entry [n_flow-1] feeds the LRNN
+          (reference mean_vols_cache[n_net-1] at CWFA.py:882).
+        """
+        rngs = cnn.key_iter(rng) if rng is not None else None
+        nxt = (lambda: next(rngs)) if rngs is not None else (lambda: None)
+        nf = self.n_flow_steps
+        up, _ = self.run_lrnn(params, state, cond_input,
+                              mean_caches[nf - 1], train=train, rng=nxt())
+        pyramid = {nf: up}
+        b = cond_input.shape[0]
+        for k in range(nf - 1, -1, -1):
+            spec = self.step_specs[k]
+            c_views = self.run_cond_net(params, k, cond_input,
+                                        train=train, rng=nxt())
+            c_mean = mean_caches[k]
+            zshape = (b * n_samples, spec.c_flow, spec.spatial, spec.spatial)
+            if z_temperature == 0:
+                z = jnp.zeros(zshape, up.dtype)
+            else:
+                z = sample_z_truncated(nxt(), zshape, z_temperature, up.dtype)
+            if n_samples > 1:
+                up_in = jnp.tile(up, (n_samples, 1, 1, 1))
+                cv = jnp.tile(c_views, (n_samples, 1, 1, 1))
+                cm = jnp.tile(c_mean, (n_samples, 1, 1, 1))
+                v, _ = cwf_step_reverse(spec, params["flow"][k], z, up_in, cv, cm)
+                v = v.reshape((n_samples, b) + v.shape[1:]).mean(0)
+            else:
+                v, _ = cwf_step_reverse(spec, params["flow"][k], z, up,
+                                        c_views, c_mean)
+            up = v
+            pyramid[k] = up
+        if return_pyramid:
+            return up, pyramid
+        return up
+
+    # --------------------------------------------------------------- misc
+    def make_mean_caches(self, params, mean_volume, key=None):
+        """Mean-volume conditioning pyramid (CWFA.py:625-655): run the forward
+        pyramid on the (normalized) mean volume and store each level as
+        depth-pair differences gt[:, ::2] - gt[:, 1::2] (CWFA.py:655)."""
+        v = mean_volume
+        if key is not None:
+            v = v + 0.001 * jax.random.normal(key, v.shape, v.dtype)
+        _, gt_cache, _, _ = self.forward_pyramid(params, v)
+        return [g[:, ::2] - g[:, 1::2] for g in gt_cache]
+
+    def param_counts(self, params):
+        """Printed at startup by the reference (CWFA.py:569-584)."""
+        cnt = lambda p: sum(x.size for x in jax.tree_util.tree_leaves(p))
+        return {"WF": cnt(params["flow"]), "Omega": cnt(params["cond"]),
+                "LRNN": cnt(params["lrnn"])}
