@@ -65,6 +65,9 @@ class CWFAConfig:
     quantile_ths: tuple = (0, 0.99999)
     n_depths: int = 96
     volume_side_size: int = 512
+    n_lenslets: int = 29               # fixed 29 in the reference (hard-coded
+                                       # at CWFA.py:495,502); configurable here
+                                       # so synthetic/test rigs can shrink it
 
     # --- evaluation (main.py:69-75) ---
     evaluation_dataset: str = "train"

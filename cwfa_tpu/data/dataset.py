@@ -1,0 +1,197 @@
+"""XLFM dataset loading (host side).
+
+Reference: XLFMDataset.py:57-248 (XLFMDatasetFull), 251-405 (ConcatDataset),
+utils.py:128-220 (load_process_volume / load_XLFM_data).
+
+Host I/O feeds device buffers as plain numpy arrays; all device-side work
+(view extraction, normalization) happens inside the jitted pipeline.  TIFF
+loading order and hygiene match the reference: NaN/Inf clamped to [0, 50000]
+(XLFMDataset.py:101-104), images padded-to-square then center-cropped to the
+camera frame (XLFMDataset.py:160-162), volumes center depth-windowed
+(XLFMDataset.py:153-157) and center-cropped spatially
+(utils.py:105-126,167).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from cwfa_tpu.data.stats import (DatasetStatistics, clip_volume_quantile,
+                                 threshold_images)
+from cwfa_tpu.data.tiff import read_tiff_stack
+
+
+def read_lenslet_centers(filename: str) -> np.ndarray:
+    """Tab-separated x<TAB>y rows (reference utils.py:27-40)."""
+    rows = []
+    with open(filename) as f:
+        for line in f:
+            parts = line.strip().split("\t")
+            if len(parts) >= 2:
+                rows.append((int(parts[0]), int(parts[1])))
+    return np.array(rows, np.int64)
+
+
+def _pad_to_square_img(img: np.ndarray) -> np.ndarray:
+    """reference pad_img_to_min (XLFMDataset.py:15-25)."""
+    h, w = img.shape[-2:]
+    m = min(h, w)
+    pw, ph = m - w, m - h
+    pads = [(ph // 2, ph // 2), (pw // 2, pw // 2)]
+    if any(p < 0 for pr in pads for p in pr):
+        return img  # larger than square target: leave to center_crop
+    return np.pad(img, pads)
+
+
+def _center_crop_img(img: np.ndarray, target_hw) -> np.ndarray:
+    h, w = img.shape[-2:]
+    dy = (h - target_hw[0]) // 2
+    dx = (w - target_hw[1]) // 2
+    if dy < 0 or dx < 0:
+        out = np.zeros(target_hw, img.dtype)
+        oy, ox = (-dy), (-dx)
+        out[oy:oy + h, ox:ox + w] = img
+        return out
+    return img[dy:dy + target_hw[0], dx:dx + target_hw[1]]
+
+
+def _center_crop_vol_spatial(vol: np.ndarray, side_hw) -> np.ndarray:
+    """reference crop_volume_center (utils.py:105-126) on (D, H, W)."""
+    _, h, w = vol.shape
+    cy, cx = h // 2, w // 2
+    y0 = cy - side_hw[0] // 2
+    x0 = cx - side_hw[1] // 2
+    return vol[:, y0:y0 + side_hw[0], x0:x0 + side_hw[1]]
+
+
+class XLFMDataset:
+    """One fish's frames: camera images + (optionally) GT volumes.
+
+    Layout: <data_path>/XLFM_image/XLFM_image_stack.tif (N pages) and
+    <data_path>/XLFM_stack/*NNN.tif per-frame depth stacks."""
+
+    def __init__(self, data_path: str, lenslet_coords_path: str, img_shape,
+                 n_depths_to_fill: int = 120, images_to_use=None,
+                 lenslets_offset: int = 50, load_vols: bool = True,
+                 ds_id: str = ""):
+        self.data_path = data_path
+        self.dataset_id = ds_id
+        self.lenslet_coords = (read_lenslet_centers(lenslet_coords_path)
+                               + lenslets_offset)
+        self.n_lenslets = len(self.lenslet_coords)
+        self.img_shape = tuple(img_shape)
+        self.load_vols = load_vols
+        self.gt_cache: list = []          # mean-volume cache (filled by engine)
+
+        imgs_path = os.path.join(data_path, "XLFM_image",
+                                 "XLFM_image_stack.tif")
+        imgs = read_tiff_stack(imgs_path, pages=images_to_use)
+        imgs = np.nan_to_num(imgs)
+        imgs = np.clip(imgs, 0, 50000)
+        self.n_images = imgs.shape[0]
+        if images_to_use is None:
+            images_to_use = list(range(self.n_images))
+
+        self.stacked_views = np.zeros((self.n_images,) + self.img_shape,
+                                      np.float32)
+        for i in range(self.n_images):
+            im = _pad_to_square_img(imgs[i])
+            self.stacked_views[i] = _center_crop_img(im, self.img_shape)
+
+        if load_vols:
+            vols_glob = os.path.join(data_path, "XLFM_stack", "*.tif")
+            files = {}
+            for idx_pos, img_ix in enumerate(images_to_use[:self.n_images]):
+                match = sorted(glob.glob(os.path.join(
+                    data_path, "XLFM_stack", f"*{img_ix:03d}.tif")))
+                if not match:
+                    raise FileNotFoundError(
+                        f"volume for frame {img_ix} not found under {vols_glob}")
+                files[idx_pos] = match[0]
+            first = read_tiff_stack(files[0])          # (D, H, W)
+            d_have = first.shape[0]
+            d_use = min(n_depths_to_fill, d_have)
+            self.vols = np.zeros((self.n_images, d_use) + first.shape[1:],
+                                 np.float32)
+            for i in range(self.n_images):
+                vol = first if i == 0 else read_tiff_stack(files[i])
+                vol = np.where(np.isinf(vol), 0, vol)
+                lo = vol.shape[0] // 2 - d_use // 2
+                self.vols[i] = vol[lo:lo + d_use]
+        else:
+            self.vols = np.zeros((1,), np.float32)
+
+    def __len__(self):
+        return self.n_images
+
+    def __getitem__(self, index):
+        views = self.stacked_views[index][None]  # (1, H, W)
+        if not self.load_vols:
+            return views
+        return views, self.vols[index], index, self.gt_cache
+
+    def standardize(self, stats: DatasetStatistics):
+        self.stacked_views = (self.stacked_views - stats.mean_imgs) / stats.std_imgs
+        self.vols = (self.vols - stats.mean_vols) / stats.std_vols
+
+
+class ConcatXLFMDataset:
+    """Multi-fish concatenation with global statistics
+    (reference ConcatDataset, XLFMDataset.py:251-405)."""
+
+    def __init__(self, *datasets: XLFMDataset):
+        self.datasets = list(datasets)
+
+    def __len__(self):
+        return sum(len(d) for d in self.datasets)
+
+    def __getitem__(self, index):
+        for d in self.datasets:
+            if index < len(d):
+                return d[index]
+            index -= len(d)
+        raise IndexError
+
+    def locate(self, index):
+        """(dataset_index, local_index) for a global index."""
+        for di, d in enumerate(self.datasets):
+            if index < len(d):
+                return di, index
+            index -= len(d)
+        raise IndexError
+
+    def get_statistics(self) -> DatasetStatistics:
+        imgs = np.concatenate([d.stacked_views.reshape(-1)
+                               for d in self.datasets])
+        vols = np.concatenate([d.vols.reshape(-1) for d in self.datasets])
+        return DatasetStatistics.compute(imgs, vols)
+
+    def mean_volume(self, dataset_ix: int) -> np.ndarray:
+        """Per-fish mean of the GT volumes (CWFA.py:645)."""
+        return self.datasets[dataset_ix].vols.mean(0, keepdims=True)
+
+
+def load_xlfm_data(dataset_path, lenslet_coords_file, vol_shape, img_shape,
+                   images_to_use, n_depths_to_fill, ds_id="",
+                   volume_ths=(0.0, 20000), volume_quantiles=(0, 0.99999),
+                   img_ths=(0.01, 1), norm=None) -> XLFMDataset:
+    """Dataset + hygiene thresholds (reference load_XLFM_data,
+    utils.py:187-220): spatial center-crop volumes to vol_shape, two-sided
+    volume thresholding, histogram-quantile clipping, image low-threshold
+    zeroing."""
+    ds = XLFMDataset(dataset_path, lenslet_coords_file, img_shape=img_shape,
+                     images_to_use=images_to_use,
+                     n_depths_to_fill=n_depths_to_fill, ds_id=ds_id)
+    side = (vol_shape[0], vol_shape[1])
+    if ds.vols.ndim == 4 and ds.vols.shape[-2:] != side:
+        ds.vols = np.stack([_center_crop_vol_spatial(v, side) for v in ds.vols])
+    if norm is None and len(volume_ths) == 2:
+        ds.vols[ds.vols < volume_ths[0]] = 0
+        ds.vols[ds.vols >= volume_ths[1]] = volume_ths[1]
+    if volume_quantiles[1] != 1:
+        ds.vols = clip_volume_quantile(ds.vols, volume_quantiles[1])
+    ds.stacked_views = threshold_images(ds.stacked_views, img_ths[0])
+    return ds

@@ -1,0 +1,87 @@
+"""PSF loading and OTF precomputation.
+
+Reference: utils.py:553-627 (load_PSF / load_PSF_OTF): load a (D, P, P') PSF
+stack from .mat / .h5 / .tif, square-pad, subsample depths (interleaved
+linspace), normalize each depth plane to unit sum, then precompute the rFFT
+OTF (+ conjugate pair) at fullSize = vol + psf.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from cwfa_tpu.data.tiff import read_tiff_stack
+from cwfa_tpu.ops.fft_conv import precompute_otf
+
+
+def _pad_to_square(psf: np.ndarray) -> np.ndarray:
+    """Square-pad the trailing 2 dims (reference pad_img_to_min,
+    XLFMDataset.py:15-25 — note it uses min(), shrinking is not supported, so
+    this pads the smaller dim up symmetrically with floor halves)."""
+    h, w = psf.shape[-2:]
+    m = min(h, w)
+    ph, pw = (m - h) // 2, (m - w) // 2
+    if ph < 0 or pw < 0:  # crop down to square like F.pad with negative pads
+        psf = psf[..., max(-ph, 0):h - max(-ph, 0) or None,
+                  max(-pw, 0):w - max(-pw, 0) or None]
+        h, w = psf.shape[-2:]
+        m = min(h, w)
+    pads = [(0, 0)] * (psf.ndim - 2) + [((m - h) // 2, (m - h) - (m - h) // 2),
+                                        ((m - w) // 2, (m - w) - (m - w) // 2)]
+    return np.pad(psf, pads)
+
+
+def load_psf(source, depths_to_use=-1, interleaved: bool = True) -> np.ndarray:
+    """Load a PSF as (1, D, P, P), depth-subsampled and per-depth
+    sum-normalized (utils.py:553-591).
+
+    source: path to .tif/.mat/.h5 or an (D, H, W)/(1, D, H, W) array.
+    depths_to_use: -1 = all; int n = n interleaved (or centered) depths;
+      or an explicit index list.
+    """
+    if isinstance(source, str):
+        if source.endswith((".mat",)):
+            from scipy.io import loadmat
+            psf = np.transpose(loadmat(source)["PSF"], (2, 0, 1))
+        elif source.endswith((".h5", ".hdf5")):
+            raise NotImplementedError(
+                "h5 PSFs need h5py, which is not in this image; convert to "
+                "tif with scripts/convert_psf.py")
+        else:
+            psf = read_tiff_stack(source)
+    else:
+        psf = np.asarray(source, np.float32)
+    if psf.ndim == 4:
+        psf = psf[0]
+    psf = _pad_to_square(psf)[None]  # (1, D, P, P)
+
+    if isinstance(depths_to_use, int):
+        if depths_to_use == -1:
+            depths = list(range(psf.shape[1]))
+        else:
+            n = depths_to_use
+            if interleaved:
+                depths = np.linspace(0, psf.shape[1], n + 2).astype(np.int64)[1:-1]
+            else:
+                c = psf.shape[1] // 2
+                depths = list(range(c - n // 2 + 1, c - n // 2 + 1 + n))
+    else:
+        depths = list(depths_to_use)
+    psf = psf[:, depths]
+    sums = psf.sum(axis=(-2, -1), keepdims=True)
+    sums[sums == 0] = 1.0
+    return (psf / sums).astype(np.float32)
+
+
+def load_psf_otf(source, vol_size, device_put: bool = True):
+    """PSF -> device OTF (reference load_PSF_OTF, utils.py:593-627).
+
+    vol_size: (S, S, D) in the reference's (x, y, depths) order.
+    Returns (otf complex64 (1, D, F0, F1r), psf_hw, full_hw).
+    """
+    n_depths = vol_size[-1]
+    psf = load_psf(source, n_depths)
+    psf_hw = psf.shape[-2:]
+    otf, full_hw = precompute_otf(jnp.asarray(psf), tuple(vol_size[:2]))
+    return otf, psf_hw, full_hw

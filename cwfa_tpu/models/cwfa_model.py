@@ -67,7 +67,7 @@ class CWFAModel:
             disable_low_res_input=bool(cfg.disable_low_res_input),
             global_seed=cfg.seed)
         lrnn_spec = LRNNSpec(
-            ch_in=29, n_depths=cfg.n_depths // (2 ** n_flow),
+            ch_in=cfg.n_lenslets, n_depths=cfg.n_depths // (2 ** n_flow),
             spatial=cfg.volume_side_size, use_bias=bool(cfg.INN_use_bias))
         return cls(cfg=cfg, step_specs=tuple(specs), lrnn_spec=lrnn_spec)
 
@@ -78,7 +78,7 @@ class CWFAModel:
     def init(self, key):
         ks = cnn.key_iter(key)
         flow = [init_cwf_step(next(ks), s) for s in self.step_specs]
-        cond = [init_cond_network(next(ks), 29,
+        cond = [init_cond_network(next(ks), self.cfg.n_lenslets,
                                   self.cfg.n_depths // (2 ** (k + 1)),
                                   chans_3d=self.cfg.INN_cond_chans)
                 for k in range(self.n_flow_steps)]
@@ -150,7 +150,7 @@ class CWFAModel:
         """Full generative chain (CWFA.py:865-927): LRNN at the coarsest
         level, then invert flow steps k = n-1..0, doubling depth each time.
 
-        cond_input: normalized views (B, 29, H, W).
+        cond_input: normalized views (B, n_lenslets, H, W).
         mean_caches: per-level mean-volume difference caches, index k used as
           the flow condition at step k; entry [n_flow-1] feeds the LRNN
           (reference mean_vols_cache[n_net-1] at CWFA.py:882).

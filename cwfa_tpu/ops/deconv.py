@@ -1,0 +1,102 @@
+"""Richardson–Lucy XLFM deconvolution as a jitted TPU loop.
+
+Reference: utils.py:630-738 (XLFMDeconv).  Per iteration:
+
+  ImgEst  = sum_d relu(fftshift(irfft2(rfft2(pad(Obj)) * OTF)))
+  Ratio   = clamp(ImgExp / (ImgEst + 1e-8), 0, median_nonzero(Ratio) * mult)
+  Obj     = crop( pad(Obj) * fftshift(irfft2(rfft2(Ratio) * conj(OTF))) )
+
+and finally depths outside the ROI are zeroed (utils.py:736-737).
+
+TPU design: the whole loop is one ``lax.fori_loop`` inside ``jax.jit``; the
+per-depth FFTs run as one batched rfft2 over the depth axis (optionally
+chunked via ``depth_chunk`` — the n_split_fourier analogue) and the depth
+reduction is a single sum, which XLA turns into a ``psum`` over the mesh when
+the depth axis is sharded (SURVEY.md §5.7).  The reference's NaN early-abort
+(utils.py:707-709) becomes a NaN-freeze: once NaN appears the state stops
+updating, preserving restartability without host round-trips per iteration.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cwfa_tpu.ops.fft_conv import fftshift2d_real, _pad_center
+
+
+def _median_nonzero(x: jax.Array) -> jax.Array:
+    """torch ``t[t!=0].median()`` — lower-middle element of the sorted nonzero
+    values (index (n-1)//2)."""
+    flat = x.reshape(-1)
+    nz = flat != 0
+    cnt = jnp.sum(nz)
+    big = jnp.where(nz, flat, jnp.inf)
+    srt = jnp.sort(big)
+    idx = jnp.maximum(cnt - 1, 0) // 2
+    return jnp.where(cnt > 0, srt[idx], 0.0)
+
+
+@partial(jax.jit, static_argnames=("n_iter", "obj_hw", "roi_depths",
+                                   "depth_chunk", "update_median_limit_multiplier"))
+def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
+                    obj_hw=(512, 512), roi_depths: int = 90,
+                    depth_chunk: int | None = None,
+                    update_median_limit_multiplier: float = 10.0):
+    """RL-deconvolve an XLFM camera image into a depth volume.
+
+    otf: (1, D, F0, F1r) complex rFFT of the padded PSF (precompute_otf).
+    img: (B, 1, I, I) raw camera image (background already removed).
+    Returns (volume (B, D, obj_hw), img_est (B, 1, F0, F1)).
+    """
+    n_depths = otf.shape[1]
+    full_hw = (otf.shape[2], (otf.shape[3] - 1) * 2)
+    otf_t = jnp.conj(otf)
+
+    img_exp = _pad_center(img.astype(jnp.float32), full_hw)
+    obj = jnp.ones((img.shape[0], n_depths) + tuple(obj_hw), jnp.float32)
+
+    pad_h = (full_hw[0] - obj_hw[0]) // 2
+    pad_w = (full_hw[1] - obj_hw[1]) // 2
+
+    def project(vol_pad, kernel_fft):
+        if depth_chunk is None or depth_chunk >= n_depths:
+            est = jnp.fft.irfft2(jnp.fft.rfft2(vol_pad) * kernel_fft, s=full_hw)
+            return fftshift2d_real(est)
+        outs = []
+        for j in range(0, n_depths, depth_chunk):
+            sl = slice(j, min(j + depth_chunk, n_depths))
+            est = jnp.fft.irfft2(
+                jnp.fft.rfft2(vol_pad[:, sl]) * kernel_fft[:, sl], s=full_hw)
+            outs.append(fftshift2d_real(est))
+        return jnp.concatenate(outs, axis=1)
+
+    def body(_, state):
+        obj, _prev_est = state
+        obj_pad = _pad_center(obj, full_hw)
+        img_est = jax.nn.relu(project(obj_pad, otf)).sum(1, keepdims=True)
+        ratio = img_exp / (img_est + 1e-8)
+        limit = _median_nonzero(ratio) * update_median_limit_multiplier
+        ratio = jnp.clip(ratio, 0.0, limit)
+        corr = fftshift2d_real(
+            jnp.fft.irfft2(jnp.fft.rfft2(ratio) * otf_t, s=full_hw))
+        new_obj_pad = obj_pad * corr
+        new_obj = new_obj_pad[:, :, pad_h:pad_h + obj_hw[0],
+                              pad_w:pad_w + obj_hw[1]]
+        # NaN-freeze instead of the reference's host-side loop break
+        bad = jnp.any(jnp.isnan(ratio))
+        new_obj = jnp.where(bad, obj, new_obj)
+        return new_obj, img_est
+
+    obj, img_est = jax.lax.fori_loop(
+        0, n_iter, body, (obj, jnp.zeros_like(img_exp)))
+
+    # zero depths outside the ROI (utils.py:736-737)
+    lo = n_depths // 2 - roi_depths // 2
+    hi = n_depths // 2 + roi_depths // 2
+    d_idx = jnp.arange(n_depths)[None, :, None, None]
+    obj = jnp.where((d_idx >= lo) & (d_idx < hi), obj, 0.0)
+    return obj, img_est

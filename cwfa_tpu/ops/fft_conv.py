@@ -1,0 +1,106 @@
+"""Batched FFT convolution for the XLFM image-formation model.
+
+Reference: utils.py:449-550 (roll_n/batch_fftshift2d_real, fft_conv,
+fft_conv_split) and utils.py:593-627 (load_PSF_OTF).
+
+The reference chunks depth FFTs to bound GPU memory (n_split_fourier).  A v5e
+chip holds all 96 depth planes of the padded rFFT comfortably, so the default
+here is one batched rfft2 over the whole depth axis, with an optional
+``depth_chunk`` (lax.map over chunks) as the memory-safety fallback — same
+semantics, different schedule.
+
+Convention: volumes are (B, D, S, S); PSFs (1, D, P, P); the padded FFT size
+is fullSize = S + P per spatial dim (linear convolution support), and the
+reference's ``batch_fftshift2d_real`` (roll by n//2, +1 when odd) recenters
+the result.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def fftshift2d_real(x: jax.Array) -> jax.Array:
+    """Reference batch_fftshift2d_real (utils.py:465-477): roll every spatial
+    dim (2:) by n//2 (+1 for odd sizes)."""
+    for dim in range(2, x.ndim):
+        n = x.shape[dim]
+        shift = n // 2 + (n % 2)
+        x = jnp.roll(x, shift, axis=dim)
+    return x
+
+
+def _pad_center(x: jax.Array, target_hw) -> jax.Array:
+    """Symmetric floor/ceil zero-pad of the trailing two dims to target_hw
+    (reference fft_conv padding, utils.py:492-498)."""
+    pads = [(0, 0)] * (x.ndim - 2)
+    for i, t in enumerate(target_hw):
+        d = t - x.shape[x.ndim - 2 + i]
+        pads.append((d // 2, d - d // 2))
+    return jnp.pad(x, pads)
+
+
+def fft_conv(a: jax.Array, b_fft: jax.Array, full_hw) -> jax.Array:
+    """Convolution with a precomputed rFFT kernel: pad a to full_hw, multiply
+    spectra, inverse transform, recenter (utils.py:480-510, B_precomputed
+    branch)."""
+    a_pad = _pad_center(a.astype(jnp.float32), full_hw)
+    a_fft = jnp.fft.rfft2(a_pad)
+    out = jnp.fft.irfft2(a_fft * b_fft, s=full_hw)
+    return fftshift2d_real(out)
+
+
+def precompute_otf(psf: jax.Array, obj_hw) -> tuple[jax.Array, tuple]:
+    """OTF = rfft2 of the PSF zero-padded to fullSize = obj + psf
+    (reference load_PSF_OTF via fft_conv's B branch, utils.py:503-510,617).
+
+    psf: (1, D, P, P) with per-depth sum normalized.
+    Returns (OTF complex64 (1, D, F0, F1//2+1), full_hw).
+    """
+    p_hw = psf.shape[-2:]
+    full_hw = (obj_hw[0] + p_hw[0], obj_hw[1] + p_hw[1])
+    psf_pad = _pad_center(psf.astype(jnp.float32), full_hw)
+    return jnp.fft.rfft2(psf_pad), full_hw
+
+
+def _project_chunk(vol_chunk, otf_chunk, full_hw):
+    vol_fft = jnp.fft.rfft2(vol_chunk)
+    img = jnp.fft.irfft2(vol_fft * otf_chunk, s=full_hw)
+    img = fftshift2d_real(img)
+    return jax.nn.relu(img).sum(axis=1, keepdims=True)
+
+
+def xlfm_forward_project(vol: jax.Array, otf: jax.Array, full_hw,
+                         psf_hw=None, depth_chunk: int | None = None):
+    """Image formation: sum over depths of PSF-convolved planes
+    (reference fft_conv_split, utils.py:513-550; XLFMDeconv forward pass,
+    utils.py:694-700).
+
+    vol: (B, D, S, S) non-padded object volume.
+    Returns (B, 1, psf_hw) when psf_hw is given (center crop), else the
+    padded (B, 1, full_hw) image.
+    """
+    vol_pad = _pad_center(vol.astype(jnp.float32), full_hw)
+    d = vol.shape[1]
+    if depth_chunk is None or depth_chunk >= d:
+        img = _project_chunk(vol_pad, otf, full_hw)
+    else:
+        n_chunks = int(np.ceil(d / depth_chunk))
+        pad_d = n_chunks * depth_chunk - d
+        vol_c = jnp.pad(vol_pad, [(0, 0), (0, pad_d), (0, 0), (0, 0)])
+        otf_c = jnp.pad(otf, [(0, 0), (0, pad_d), (0, 0), (0, 0)])
+        vol_c = vol_c.reshape(vol.shape[0], n_chunks, depth_chunk, *full_hw)
+        otf_c = otf_c.reshape(1, n_chunks, depth_chunk, *otf.shape[-2:])
+        imgs = jax.lax.map(
+            lambda args: _project_chunk(args[0], args[1], full_hw),
+            (jnp.moveaxis(vol_c, 1, 0), jnp.moveaxis(otf_c, 1, 0)))
+        img = imgs.sum(axis=0)
+    if psf_hw is not None:
+        h0 = (full_hw[0] - psf_hw[0]) // 2
+        w0 = (full_hw[1] - psf_hw[1]) // 2
+        img = img[:, :, h0:h0 + psf_hw[0], w0:w0 + psf_hw[1]]
+    return img

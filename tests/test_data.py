@@ -1,0 +1,81 @@
+"""Data-layer tests: view extraction oracle, TIFF roundtrip, synthetic
+dataset generation + loading, statistics."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cwfa_tpu.data import (
+    make_view_indices, extract_views, read_tiff_stack,
+    make_synthetic_dataset, XLFMDataset, ConcatXLFMDataset, load_xlfm_data,
+)
+from cwfa_tpu.data.tiff import write_tiff_stack
+from cwfa_tpu.data.stats import fast_quantile
+
+
+def _reference_extract_views_oracle(image, coords, view_hw):
+    """Literal re-derivation of XLFMDataset.extract_views semantics
+    (XLFMDataset.py:224-242) in numpy, as the test oracle."""
+    b = image.shape[0]
+    n = len(coords)
+    half = [view_hw[0] // 2, view_hw[1] // 2]
+    out = np.zeros((b, n, view_hw[0], view_hw[1]), image.dtype)
+    for l in range(n):
+        c = coords[l]
+        lo = [max(int(c[k]) - half[k], 0) for k in range(2)]
+        patch = image[:, lo[0]:int(c[0]) + half[0], lo[1]:int(c[1]) + half[1]]
+        out[:, l, -patch.shape[1]:, -patch.shape[2]:] = patch
+    return out
+
+
+def test_extract_views_matches_oracle():
+    rng = np.random.RandomState(0)
+    img = rng.rand(2, 100, 100).astype(np.float32)
+    # interior, corner-clipped, and edge-clipped lenslets
+    coords = np.array([[50, 50], [10, 50], [50, 95], [5, 5], [95, 95]])
+    idx = make_view_indices(coords, (100, 100), (32, 32))
+    got = np.asarray(extract_views(jnp.asarray(img), idx))
+    want = _reference_extract_views_oracle(img, coords, (32, 32))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_tiff_roundtrip(tmp_path):
+    arr = np.random.RandomState(1).rand(5, 16, 24).astype(np.float32)
+    p = str(tmp_path / "x.tif")
+    write_tiff_stack(p, arr)
+    back = read_tiff_stack(p)
+    np.testing.assert_allclose(back, arr, atol=1e-6)
+    sel = read_tiff_stack(p, pages=[1, 3])
+    np.testing.assert_allclose(sel, arr[[1, 3]], atol=1e-6)
+
+
+def test_fast_quantile():
+    x = np.linspace(0, 1, 100000).astype(np.float32)
+    q = fast_quantile(x, 0.95)
+    assert 0.94 < q < 0.96
+
+
+def test_synthetic_dataset_roundtrip(tmp_path):
+    info = make_synthetic_dataset(str(tmp_path), n_fish=1, n_frames=3,
+                                  n_depths=8, vol_side=32, img_size=96,
+                                  n_lenslets=4, view_size=32)
+    fish = info["fish_dirs"][0] + "/SLNet_preprocessed"
+    ds = load_xlfm_data(fish, info["lenslet_file"],
+                        vol_shape=(32, 32, 8), img_shape=(96, 96),
+                        images_to_use=[0, 1, 2], n_depths_to_fill=8)
+    assert len(ds) == 3
+    assert ds.vols.shape == (3, 8, 32, 32)
+    assert ds.stacked_views.shape == (3, 96, 96)
+    assert ds.vols.max() > 0 and ds.stacked_views.max() > 0
+
+    cat = ConcatXLFMDataset(ds)
+    stats = cat.get_statistics()
+    assert stats.std_vols > 0 and stats.std_imgs > 0
+
+    views, vol, ix, cache = ds[1]
+    assert views.shape == (1, 96, 96) and vol.shape == (8, 32, 32)
+
+    # view extraction runs on the loaded images
+    idx = make_view_indices(ds.lenslet_coords, (96, 96), (32, 32))
+    v = extract_views(jnp.asarray(ds.stacked_views), idx)
+    assert v.shape == (3, 4, 32, 32)
+    assert float(jnp.max(v)) > 0

@@ -1,0 +1,79 @@
+"""FFT convolution + Richardson-Lucy deconvolution tests (SURVEY.md §4:
+RL fixed-point test on a synthetic PSF)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cwfa_tpu.ops import (
+    fftshift2d_real, precompute_otf, xlfm_forward_project, xlfm_deconvolve)
+
+
+def test_fftshift_matches_reference_roll():
+    x = np.arange(2 * 3 * 4 * 5, dtype=np.float32).reshape(2, 3, 4, 5)
+    got = np.asarray(fftshift2d_real(jnp.asarray(x)))
+    # reference roll: n//2 (+1 if odd) moved front<-back
+    want = np.roll(x, 2, axis=2)           # 4//2 = 2
+    want = np.roll(want, 3, axis=3)        # 5//2+1 = 3
+    np.testing.assert_allclose(got, want)
+
+
+def test_fft_conv_delta_psf_is_identity():
+    """A centered delta PSF must reproduce the object in the image center."""
+    d, s, p = 2, 16, 32
+    psf = np.zeros((1, d, p, p), np.float32)
+    psf[0, :, p // 2, p // 2] = 1.0
+    otf, full_hw = precompute_otf(jnp.asarray(psf), (s, s))
+    rng = np.random.RandomState(0)
+    vol = jnp.asarray(np.abs(rng.rand(1, d, s, s)).astype(np.float32))
+    img = np.asarray(xlfm_forward_project(vol, otf, full_hw, psf_hw=(p, p)))
+    # image = sum over depths of the (centered) object
+    want = np.asarray(vol.sum(1))[0]
+    h0 = (p - s) // 2
+    np.testing.assert_allclose(img[0, 0, h0:h0 + s, h0:h0 + s], want,
+                               atol=1e-3)
+
+
+def test_deconv_recovers_blobs():
+    """RL on a synthetic gaussian PSF recovers blob positions (energy
+    concentrates at the right depth/locations)."""
+    d, s, p = 4, 24, 48
+    yy, xx = np.meshgrid(np.arange(p), np.arange(p), indexing="ij")
+    psf = np.zeros((1, d, p, p), np.float32)
+    for k in range(d):
+        sig = 1.0 + 0.8 * abs(k - d / 2)
+        off = (k - d / 2) * 4
+        psf[0, k] = np.exp(-(((yy - p / 2 - off) ** 2 + (xx - p / 2) ** 2)
+                             / (2 * sig ** 2)))
+        psf[0, k] /= psf[0, k].sum()
+    otf, full_hw = precompute_otf(jnp.asarray(psf), (s, s))
+
+    vol = np.zeros((1, d, s, s), np.float32)
+    vol[0, 1, 8, 8] = 100.0
+    vol[0, 2, 16, 18] = 80.0
+    img = xlfm_forward_project(jnp.asarray(vol), otf, full_hw, psf_hw=(p, p))
+
+    recon, img_est = xlfm_deconvolve(otf, img, n_iter=30, obj_hw=(s, s),
+                                     roi_depths=d)
+    recon = np.asarray(recon)[0]
+    assert np.isfinite(recon).all()
+    # energy at the true depth/position dominates its plane
+    assert recon[1].argmax() == 8 * s + 8
+    assert recon[2].argmax() == 16 * s + 18
+    # depth assignment: plane 1 holds more energy near (8,8) than plane 3
+    patch = (slice(6, 11), slice(6, 11))
+    assert recon[1][patch].sum() > 3 * recon[3][patch].sum()
+
+
+def test_deconv_depth_chunking_matches():
+    d, s, p = 4, 16, 32
+    rng = np.random.RandomState(1)
+    psf = np.abs(rng.rand(1, d, p, p)).astype(np.float32)
+    psf /= psf.sum(axis=(-2, -1), keepdims=True)
+    otf, full_hw = precompute_otf(jnp.asarray(psf), (s, s))
+    vol = jnp.asarray(np.abs(rng.rand(1, d, s, s)).astype(np.float32))
+    img = xlfm_forward_project(vol, otf, full_hw, psf_hw=(p, p))
+    r_full, _ = xlfm_deconvolve(otf, img, n_iter=3, obj_hw=(s, s), roi_depths=d)
+    r_chunk, _ = xlfm_deconvolve(otf, img, n_iter=3, obj_hw=(s, s),
+                                 roi_depths=d, depth_chunk=2)
+    np.testing.assert_allclose(np.asarray(r_full), np.asarray(r_chunk),
+                               rtol=1e-4, atol=1e-5)
