@@ -1,0 +1,89 @@
+"""Per-step checkpoints with reference-compatible metadata.
+
+Reference format (networks.py:708-756): one file per pyramid step named
+``model_step_<s>__ep_<e>`` holding {'epoch', 'args', 'INN_state_dict',
+'condition_state_dict', 'optimizer_state_dict', 'training_statistics'}.
+Discovery globs the directory and keeps the highest epoch per step
+(CWFA.py:425-469).
+
+Here each checkpoint is a msgpack file (flax.serialization) with the same
+logical keys; 'args' is the per-step CWFAConfig dict (cfg rides along so
+resume can reconstruct the exact architecture, --fine_tune_use_model_args).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import jax
+import numpy as np
+from flax import serialization
+
+from cwfa_tpu.config import CWFAConfig
+from cwfa_tpu.data.stats import DatasetStatistics
+
+
+def _to_numpy(tree):
+    # to_state_dict first: lists become {"0": ..} dicts so from_state_dict
+    # can restore them against the live param structure
+    sd = serialization.to_state_dict(tree)
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), sd)
+
+
+def save_step_checkpoint(path: str, step: int, epoch: int, cfg: CWFAConfig,
+                         inn_params=None, cond_params=None, opt_state=None,
+                         train_statistics: DatasetStatistics | None = None,
+                         posfix: str = ""):
+    """Write ``<path>/model_step_<step>__ep_<epoch><posfix>.msgpack``."""
+    os.makedirs(path, exist_ok=True)
+    payload = {
+        "epoch": epoch,
+        # JSON text: msgpack can't carry tuples, and the config has several
+        "args": json.dumps(cfg.to_dict()),
+        "INN_state_dict": _to_numpy(inn_params) if inn_params is not None else {},
+        "condition_state_dict": (_to_numpy(cond_params)
+                                 if cond_params is not None else {}),
+        "optimizer_state_dict": (_to_numpy(opt_state)
+                                 if opt_state is not None else {}),
+        "training_statistics": (list(train_statistics.astuple())
+                                if train_statistics is not None else []),
+    }
+    fname = os.path.join(path, f"model_step_{step}__ep_{epoch}{posfix}.msgpack")
+    with open(fname, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    return fname
+
+
+def discover_checkpoints(path: str, prefix: str = "model_step_*__ep_*"):
+    """Highest-epoch checkpoint per step (reference load_INN_steps,
+    networks.py:732-756). Returns {step: (epoch, filename)}."""
+    files = glob.glob(os.path.join(path, prefix))
+    best = {}
+    for m in files:
+        nums = re.findall(r"\d+", os.path.basename(m))
+        if len(nums) < 2:
+            continue
+        step, ep = int(nums[0]), int(nums[1])
+        if step not in best or ep > best[step][0]:
+            best[step] = (ep, m)
+    return best
+
+
+def load_step_checkpoint(fname: str):
+    with open(fname, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    cfg = CWFAConfig.from_dict(json.loads(payload["args"]))
+    stats = None
+    ts = payload.get("training_statistics")
+    if ts is not None and len(ts) == 6:
+        stats = DatasetStatistics(*[float(t) for t in ts])
+    return payload, cfg, stats
+
+
+def restore_like(template, saved):
+    """Restore ``saved`` (numpy pytree from msgpack, dict-keyed) into the
+    structure of ``template`` (lists stay lists)."""
+    return serialization.from_state_dict(template, saved)

@@ -39,17 +39,19 @@ def poisson_ll_loss(output, target, eps: float = 1e-8):
     return jnp.mean(p - g * jnp.log(eps + p))
 
 
-def recon_loss(kind: str, output, target):
+def recon_loss(kind: str, gt, pred):
     """Loss menu for --loss_func_first_step / --loss_func_reg
-    (CWFA.py:935-955)."""
+    (CWFA.py:935-955). Argument roles follow the reference call sites:
+    L1/L2/wL2 are invoked as f(curr_gt, upsampled_vol); LL treats the
+    prediction as the rate (CWFA.py:944)."""
     if kind == "L1":
-        return l1_loss(output, target)
+        return l1_loss(gt, pred)
     if kind == "L2":
-        return mse_loss(output, target)
+        return mse_loss(gt, pred)
     if kind == "wL2":
-        return weighted_mse_loss(output, target)
+        return weighted_mse_loss(gt, pred)
     if kind == "LL":
-        return poisson_ll_loss(output, target)
+        return poisson_ll_loss(pred, gt)
     raise ValueError(f"unknown loss {kind!r}")
 
 

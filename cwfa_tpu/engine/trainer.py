@@ -1,0 +1,405 @@
+"""CWFA training engine — the TPU-native run_CWFA.
+
+Reference: CWFA.py:381-1288 (run_CWFA).  The reference's monolithic loop is
+split into:
+
+- coarse-to-fine stage scheduler (CWFA.py:748-771 semantics): with E epochs
+  and S pyramid steps, each step trains for E//S epochs, coarsest first
+  (stage = S - epoch//(E//S) - 1);
+- per-stage jitted train steps: one for the LRNN stage, one per flow step
+  (each trains the step's flow params and its condition net with separate
+  Lion optimizers, CWFA.py:586-613);
+- upsampled-volume caching between stages (CWFA.py:697,748-750,848-851,
+  917-919): the last epoch of each stage stores its outputs per sample, and
+  the next (finer) stage trains on them;
+- per-sample GT-pyramid caching (CWFA.py:801-823) and per-dataset mean-volume
+  conditioning caches (CWFA.py:625-655);
+- evaluation passes every ``eval_every`` epochs over train/val/test with
+  per-level PSNR / masked-MAE and frame timing (CWFA.py:1033-1169).
+
+Precision: bf16 compute on TPU replaces the reference's fp16 AMP +
+GradScaler; bf16 needs no loss scaling, so the scaler/fallback machinery
+(CWFA.py:1002-1027) has no equivalent — a documented divergence.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cwfa_tpu import nn as cnn
+from cwfa_tpu.config import CWFAConfig
+from cwfa_tpu.data.dataset import ConcatXLFMDataset
+from cwfa_tpu.data.stats import DatasetStatistics
+from cwfa_tpu.data.views import extract_views
+from cwfa_tpu.engine import losses as L
+from cwfa_tpu.engine.checkpoints import save_step_checkpoint
+from cwfa_tpu.engine.metrics import compute_step_performance
+from cwfa_tpu.models.cwfa_model import CWFAModel
+from cwfa_tpu.models.cwf import cwf_step_reverse
+
+
+def make_optimizers(model: CWFAModel):
+    """Per-step Lion optimizers with the reference hyperparameters
+    (CWFA.py:24,586-613: Lion, betas (0.9, 0.99); flow+LRNN groups carry
+    weight decay, condition nets don't)."""
+    cfg = model.cfg
+    tx_flow = optax.lion(cfg.learning_rate, b1=0.9, b2=0.99,
+                         weight_decay=cfg.learning_weight_decay)
+    tx_cond = optax.lion(cfg.learning_rate_cond, b1=0.9, b2=0.99)
+    tx_lrnn = optax.lion(cfg.learning_rate_first_step, b1=0.9, b2=0.99,
+                         weight_decay=cfg.learning_weight_decay)
+    return tx_flow, tx_cond, tx_lrnn
+
+
+@dataclass
+class TrainLog:
+    scalars: dict = field(default_factory=dict)
+
+    def add(self, tag: str, value, step: int):
+        self.scalars.setdefault(tag, []).append((step, float(value)))
+
+    def last(self, tag: str):
+        return self.scalars[tag][-1][1] if self.scalars.get(tag) else None
+
+
+class CWFATrainer:
+    """Stage-scheduled trainer + evaluator for a CWFAModel."""
+
+    def __init__(self, model: CWFAModel, stats: DatasetStatistics,
+                 view_indices: dict, output_path: str | None = None,
+                 seed: int | None = None):
+        self.model = model
+        self.cfg = model.cfg
+        self.stats = stats
+        self.view_indices = view_indices
+        self.output_path = output_path
+        self.log = TrainLog()
+        self.key = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
+
+        self.params, self.mstate = model.init(self._next_key())
+        self.tx_flow, self.tx_cond, self.tx_lrnn = make_optimizers(model)
+        nf = model.n_flow_steps
+        self.opt_flow = [self.tx_flow.init(self.params["flow"][k])
+                         for k in range(nf)]
+        self.opt_cond = [self.tx_cond.init(self.params["cond"][k])
+                         for k in range(nf)]
+        self.opt_lrnn = self.tx_lrnn.init(self.params["lrnn"])
+
+        # host-side caches
+        self.gt_cache: dict = {"train": {}, "val": {}, "test": {}}
+        self.upsampled_cache: dict = {}
+        self.mean_caches: dict = {}      # dataset_ix -> list of cache levels
+
+        self._build_jitted()
+
+    # ------------------------------------------------------------------ rng
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # ---------------------------------------------------------------- jits
+    def _build_jitted(self):
+        model, cfg = self.model, self.cfg
+        mean_i, std_i = self.stats.mean_imgs, self.stats.std_imgs
+        mean_v, std_v = self.stats.mean_vols, self.stats.std_vols
+        nf = model.n_flow_steps
+
+        @jax.jit
+        def views_norm_fn(raw_views):
+            """extract 29 lenslet views + standardize (CWFA.py:794-797)."""
+            v = extract_views(raw_views, self.view_indices)
+            return (v - mean_i) / std_i
+        self._views_norm = views_norm_fn
+
+        @jax.jit
+        def pyramid_fn(params, vol_raw, key):
+            """normalize + 1e-3 noise + forward pyramid (CWFA.py:808-823)."""
+            v = (vol_raw - mean_v) / std_v
+            v = v + 0.001 * jax.random.normal(key, v.shape, v.dtype)
+            nlls, cache, priors, ljs = model.forward_pyramid(params, v)
+            return jnp.stack(nlls), cache, jnp.stack(priors), jnp.stack(ljs)
+        self._pyramid = pyramid_fn
+
+        def lrnn_step(params, mstate, opt_state, views_n, mean_c, gt_coarse,
+                      key):
+            k_noise, k_drop = jax.random.split(key)
+
+            def loss_fn(lrnn_params):
+                p = {**params, "lrnn": lrnn_params}
+                vin = views_n
+                if cfg.add_noise == 1:
+                    vin = vin + 0.5 * jax.random.normal(k_noise, vin.shape,
+                                                        vin.dtype)
+                out, new_lrnn_state = model.run_lrnn(
+                    p, mstate, vin, mean_c, train=True, rng=k_drop)
+                loss = L.recon_loss(cfg.loss_func_first_step, gt_coarse, out)
+                return loss, (out, new_lrnn_state)
+
+            (loss, (out, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params["lrnn"])
+            updates, opt_state = self.tx_lrnn.update(
+                grads, opt_state, params["lrnn"])
+            lrnn_params = optax.apply_updates(params["lrnn"], updates)
+            return lrnn_params, new_state, opt_state, loss, out
+        self._lrnn_step = jax.jit(lrnn_step)
+
+        def make_flow_step(k):
+            spec = model.step_specs[k]
+
+            def flow_step(flow_k, cond_k, opt_f, opt_c, views_n, mean_c_k,
+                          gt_k, upsampled_in, key):
+                def loss_fn(args):
+                    fk, ck = args
+                    c_views = cnn_cond(ck, views_n, key)
+                    b = gt_k.shape[0]
+                    z = jnp.zeros((b, spec.c_flow, spec.spatial, spec.spatial),
+                                  gt_k.dtype)
+                    recon, _ = cwf_step_reverse(spec, fk, z, upsampled_in,
+                                                c_views, mean_c_k)
+                    loss_c = L.recon_loss(cfg.loss_func_reg, gt_k, recon)
+                    pseudo = {"flow": [fk if i == k else None
+                                       for i in range(nf)]}
+                    nll, _ = model.step_nll(pseudo, k, gt_k, c_views, mean_c_k)
+                    full = (loss_c * cfg.INN_cond_weight
+                            + nll * (1.0 - cfg.INN_cond_weight))
+                    return full, (loss_c, nll, recon)
+
+                def cnn_cond(ck, vn, kk):
+                    from cwfa_tpu.models.cond_net import cond_network
+                    return cond_network(ck, vn, train=True, rng=kk)
+
+                (full, (loss_c, nll, recon)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)((flow_k, cond_k))
+                gf, gc = grads
+                uf, opt_f = self.tx_flow.update(gf, opt_f, flow_k)
+                flow_k = optax.apply_updates(flow_k, uf)
+                uc, opt_c = self.tx_cond.update(gc, opt_c, cond_k)
+                cond_k = optax.apply_updates(cond_k, uc)
+                return flow_k, cond_k, opt_f, opt_c, full, loss_c, nll, recon
+            return jax.jit(flow_step)
+        self._flow_steps = [make_flow_step(k) for k in range(nf)]
+
+        def recon_eval(params, mstate, views_n, mean_caches, key):
+            """Eval-mode reconstruction returning the full pyramid
+            (cond nets in eval mode, LRNN in train mode — CWFA.py:528-532)."""
+            vol, pyr = model.reconstruct(
+                params, mstate, views_n, mean_caches,
+                z_temperature=cfg.INN_z_temperature, rng=key, train=False,
+                lrnn_train=True, n_samples=cfg.INN_n_samples,
+                return_pyramid=True)
+            return vol, [pyr[i] for i in range(nf + 1)]
+        self._recon_eval = jax.jit(recon_eval)
+
+        def recon_to_level(params, mstate, views_n, mean_caches, key, level):
+            """Run LRNN + inverse steps down to (excluding) ``level`` — used
+            to rebuild the stage input when the upsampled cache is cold."""
+            vol, pyr = model.reconstruct(
+                params, mstate, views_n, mean_caches,
+                z_temperature=cfg.INN_z_temperature, rng=key, train=False,
+                lrnn_train=True, return_pyramid=True)
+            return pyr[level]
+        self._recon_to_level = jax.jit(recon_to_level,
+                                       static_argnames=("level",))
+
+    # ------------------------------------------------------------ caching
+    def ensure_mean_caches(self, dataset: ConcatXLFMDataset):
+        """Per-fish mean-volume conditioning pyramids (CWFA.py:625-655)."""
+        for di in range(len(dataset.datasets)):
+            if di in self.mean_caches:
+                continue
+            mv = jnp.asarray(dataset.mean_volume(di))
+            mv = (mv - self.stats.mean_vols) / self.stats.std_vols
+            caches = self.model.make_mean_caches(self.params, mv,
+                                                 key=self._next_key())
+            self.mean_caches[di] = [jax.device_put(c) for c in caches]
+
+    def _sample_inputs(self, dataset: ConcatXLFMDataset, ix: int):
+        di, li = dataset.locate(ix)
+        ds = dataset.datasets[di]
+        raw = jnp.asarray(ds.stacked_views[li][None])       # (1, H, W)
+        vol = jnp.asarray(ds.vols[li][None])                # (1, D, S, S)
+        views_n = self._views_norm(raw)
+        return views_n, vol, self.mean_caches[di]
+
+    def _gt_pyramid(self, tag: str, ix: int, vol):
+        if ix not in self.gt_cache[tag]:
+            nlls, cache, priors, ljs = self._pyramid(self.params, vol,
+                                                     self._next_key())
+            self.gt_cache[tag][ix] = cache
+        return self.gt_cache[tag][ix]
+
+    # ----------------------------------------------------------- training
+    def stage_for_epoch(self, epoch: int) -> int:
+        """steps_to_optimize scheduling (CWFA.py:748-752): stage index
+        (nf = LRNN stage, nf-1..0 = flow steps), coarsest first."""
+        cfg = self.cfg
+        eps = max(cfg.epochs // cfg.INN_max_down_steps, 1)
+        step = int(cfg.INN_max_down_steps - epoch // eps) - 1
+        return max(min(step, self.model.n_flow_steps), 0)
+
+    def _stage_input(self, ix, views_n, mean_caches, stage):
+        """Cached coarser-stage output, or recompute it (CWFA.py:848-851)."""
+        cached = self.upsampled_cache.get(ix)
+        if cached is not None and cached.shape[1] == (
+                self.cfg.n_depths // (2 ** (stage + 1))):
+            return jax.device_put(cached)
+        return self._recon_to_level(self.params, self.mstate, views_n,
+                                    mean_caches, self._next_key(), stage + 1)
+
+    def train_epoch(self, dataset: ConcatXLFMDataset, epoch: int,
+                    tag: str = "train"):
+        """One training epoch at the scheduled stage. Returns mean loss."""
+        self.ensure_mean_caches(dataset)
+        cfg = self.cfg
+        nf = self.model.n_flow_steps
+        stage = self.stage_for_epoch(epoch)
+        eps = max(cfg.epochs // cfg.INN_max_down_steps, 1)
+        capture = ((epoch + 1) % eps == 0 and stage > 0)
+        losses = []
+        for ix in range(len(dataset)):
+            views_n, vol, mean_caches = self._sample_inputs(dataset, ix)
+            gt_cache = self._gt_pyramid(tag, ix, vol)
+            if stage == nf:  # LRNN stage
+                (lrnn_p, lrnn_s, self.opt_lrnn, loss, out) = self._lrnn_step(
+                    self.params, self.mstate, self.opt_lrnn, views_n,
+                    mean_caches[nf - 1], gt_cache[nf], self._next_key())
+                self.params = {**self.params, "lrnn": lrnn_p}
+                self.mstate = {"lrnn": lrnn_s}
+                if capture:
+                    self.upsampled_cache[ix] = np.asarray(out)
+            else:
+                k = stage
+                upsampled = self._stage_input(ix, views_n, mean_caches, k)
+                (fk, ck, of, oc, full, loss_c, nll, recon) = \
+                    self._flow_steps[k](
+                        self.params["flow"][k], self.params["cond"][k],
+                        self.opt_flow[k], self.opt_cond[k], views_n,
+                        mean_caches[k], gt_cache[k], upsampled,
+                        self._next_key())
+                flow = list(self.params["flow"]); flow[k] = fk
+                cond = list(self.params["cond"]); cond[k] = ck
+                self.params = {**self.params, "flow": flow, "cond": cond}
+                self.opt_flow[k], self.opt_cond[k] = of, oc
+                loss = full
+                if capture:
+                    self.upsampled_cache[ix] = np.asarray(recon)
+                self.log.add(f"loss_LL/step_{k}", nll, epoch)
+            losses.append(float(loss))
+            if not np.isfinite(losses[-1]):
+                raise ValueError(f"Nan/Inf loss found in {tag} at epoch "
+                                 f"{epoch}, sample {ix} (CWFA.py:989-994)")
+        mean_loss = float(np.mean(losses))
+        self.log.add(f"fine_tune/loss/{tag}", mean_loss, epoch)
+        self.log.add("step_to_optimize", stage, epoch)
+        return mean_loss
+
+    # --------------------------------------------------------- evaluation
+    def evaluate(self, dataset: ConcatXLFMDataset, tag: str = "val"):
+        """Full-chain reconstruction + per-level metrics + timing
+        (CWFA.py:1033-1169). Returns a results dict."""
+        self.ensure_mean_caches(dataset)
+        nf = self.model.n_flow_steps
+        res = {"psnr": [], "MAPE": [], "times": [], "volumes_pred": [],
+               "volumes_gt": [], "nll": []}
+        for ix in range(len(dataset)):
+            views_n, vol, mean_caches = self._sample_inputs(dataset, ix)
+            gt_cache = self._gt_pyramid(tag, ix, vol)
+            key = self._next_key()
+            t0 = time.perf_counter()
+            volume, pyramid = self._recon_eval(self.params, self.mstate,
+                                               views_n, mean_caches, key)
+            volume.block_until_ready()
+            res["times"].append(time.perf_counter() - t0)
+            psnrs, mapes = [], []
+            for lvl in range(nf + 1):
+                p, m, _, _ = compute_step_performance(
+                    np.asarray(gt_cache[lvl]), np.asarray(pyramid[lvl]), lvl,
+                    self.stats.mean_vols, self.stats.std_vols)
+                psnrs.append(p)
+                mapes.append(m)
+            res["psnr"].append(psnrs)
+            res["MAPE"].append(mapes)
+            # un-normalized output volume (CWFA.py:1035,1041)
+            gt_out = np.asarray(gt_cache[0])[0] * self.stats.std_vols \
+                + self.stats.mean_vols
+            pred_out = np.asarray(pyramid[0])[0] * self.stats.std_vols \
+                + self.stats.mean_vols
+            res["volumes_gt"].append(gt_out - gt_out.min())
+            res["volumes_pred"].append(pred_out)
+            nlls, _, _, _ = self._pyramid(self.params, vol, self._next_key())
+            res["nll"].append(np.asarray(nlls))
+        return res
+
+    # ---------------------------------------------------------------- fit
+    def fit(self, train_ds: ConcatXLFMDataset, val_ds=None, test_ds=None,
+            eval_every: int | None = None, start_epoch: int = 0,
+            end_epoch: int | None = None, verbose: bool = False):
+        """The coarse-to-fine training driver (run_CWFA main loop)."""
+        cfg = self.cfg
+        eval_every = eval_every or cfg.eval_every
+        end_epoch = cfg.epochs if end_epoch is None else end_epoch
+        results = {}
+        for epoch in range(start_epoch, end_epoch):
+            loss = self.train_epoch(train_ds, epoch)
+            if verbose:
+                print(f"epoch {epoch + 1}/{end_epoch} "
+                      f"stage={self.stage_for_epoch(epoch)} loss={loss:.5f}")
+            if (epoch + 1) % eval_every == 0 or epoch + 1 == end_epoch:
+                results["train"] = self.evaluate(train_ds, "train")
+                if val_ds is not None:
+                    results["val"] = self.evaluate(val_ds, "val")
+                if test_ds is not None:
+                    results["test"] = self.evaluate(test_ds, "test")
+                if self.output_path:
+                    self.save_checkpoints(epoch)
+        return results
+
+    def save_checkpoints(self, epoch: int):
+        """One checkpoint per pyramid step (CWFA.py:1171-1174,1280-1284)."""
+        nf = self.model.n_flow_steps
+        for step in range(self.cfg.INN_max_down_steps):
+            is_lrnn = step >= nf
+            save_step_checkpoint(
+                self.output_path, step + 1, epoch,
+                self.cfg.step_config(step),
+                inn_params=None if is_lrnn else self.params["flow"][step],
+                cond_params=(self.params["lrnn"] if is_lrnn
+                             else self.params["cond"][step]),
+                train_statistics=self.stats)
+
+    def load_checkpoints(self, path: str, steps=None):
+        """Load the highest-epoch checkpoint per step (CWFA.py:424-526)."""
+        from cwfa_tpu.engine.checkpoints import (discover_checkpoints,
+                                                 load_step_checkpoint,
+                                                 restore_like)
+        nf = self.model.n_flow_steps
+        found = discover_checkpoints(path)
+        loaded = []
+        for step, (ep, fname) in sorted(found.items()):
+            if steps is not None and step not in steps:
+                continue
+            payload, _, stats = load_step_checkpoint(fname)
+            ix = step - 1
+            if ix < nf and payload["INN_state_dict"]:
+                flow = list(self.params["flow"])
+                flow[ix] = restore_like(flow[ix], payload["INN_state_dict"])
+                self.params = {**self.params, "flow": flow}
+            if payload["condition_state_dict"]:
+                if ix >= nf:
+                    self.params = {**self.params, "lrnn": restore_like(
+                        self.params["lrnn"], payload["condition_state_dict"])}
+                else:
+                    cond = list(self.params["cond"])
+                    cond[ix] = restore_like(cond[ix],
+                                            payload["condition_state_dict"])
+                    self.params = {**self.params, "cond": cond}
+            loaded.append(step)
+        return loaded

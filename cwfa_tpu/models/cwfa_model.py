@@ -146,6 +146,7 @@ class CWFAModel:
 
     def reconstruct(self, params, state, cond_input, mean_caches, *,
                     z_temperature: float = 0.0, rng=None, train: bool = False,
+                    lrnn_train: bool | None = None,
                     n_samples: int = 1, return_pyramid: bool = False):
         """Full generative chain (CWFA.py:865-927): LRNN at the coarsest
         level, then invert flow steps k = n-1..0, doubling depth each time.
@@ -158,8 +159,12 @@ class CWFAModel:
         rngs = cnn.key_iter(rng) if rng is not None else None
         nxt = (lambda: next(rngs)) if rngs is not None else (lambda: None)
         nf = self.n_flow_steps
-        up, _ = self.run_lrnn(params, state, cond_input,
-                              mean_caches[nf - 1], train=train, rng=nxt())
+        # the reference keeps the LRNN in train mode even during evaluation
+        # ("important due to the dropout/batchnorm", CWFA.py:531-532)
+        if lrnn_train is None:
+            lrnn_train = train or rng is not None
+        up, _ = self.run_lrnn(params, state, cond_input, mean_caches[nf - 1],
+                              train=lrnn_train, rng=nxt())
         pyramid = {nf: up}
         b = cond_input.shape[0]
         for k in range(nf - 1, -1, -1):

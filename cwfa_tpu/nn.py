@@ -176,11 +176,15 @@ def init_conv_transpose2d(key, c_in, c_out, k, stride,
     fan_in from dim-1 (out*k*k), which _fan_in_out reproduces on (I,O,kH,kW)."""
     if isinstance(k, int):
         k = (k, k)
-    w, b = init(key, (c_in, c_out, *k), with_bias, dtype=dtype)
-    # note: bias bound uses fan_in = c_out*k*k exactly like torch
+    kw, kb = jax.random.split(key)
+    w, _ = init(kw, (c_in, c_out, *k), False, dtype=dtype)
     p = {"w": w}
-    if b is not None:
-        p["b"] = b
+    if with_bias:
+        # torch bias: shape (c_out,), bound 1/sqrt(fan_in) with
+        # fan_in = weight.size(1) * k * k = c_out * k * k
+        fan_in = c_out * int(np.prod(k))
+        bound = 1.0 / math.sqrt(fan_in)
+        p["b"] = jax.random.uniform(kb, (c_out,), dtype, -bound, bound)
     return p
 
 
@@ -189,9 +193,12 @@ def conv_transpose2d(params, x, stride=2):
     w = params["w"].astype(x.dtype)  # (I, O, kH, kW)
     if isinstance(stride, int):
         stride = (stride, stride)
+    # torch ConvTranspose2d weight (in, out, kH, kW) is the OIHW kernel of the
+    # corresponding forward conv (out->in); transpose_kernel=True makes
+    # lax.conv_transpose compute exactly that gradient-of-conv.
     y = jax.lax.conv_transpose(
         x, w, strides=stride, padding="VALID",
-        dimension_numbers=("NCHW", "IOHW", "NCHW"),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
         transpose_kernel=True,
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
