@@ -1,0 +1,96 @@
+"""Dataset deconvolution CLI — the reference ``main_deconvolve_dataset.py``.
+
+Batch RL-deconvolves a dataset's XLFM camera frames into per-frame volume
+TIFFs (the GT-volume generator for training).  Reference:
+main_deconvolve_dataset.py:21-109.
+
+Usage:
+    python -m cwfa_tpu.cli.deconvolve --data_folder <fish_dir> \
+        --psf_file <psf.tif> [--n_it 50 --n_depths 120 --vol_xy_size 600]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+import numpy as np
+
+from cwfa_tpu.config import DeconvConfig
+from cwfa_tpu.data.dataset import XLFMDataset
+from cwfa_tpu.data.psf import load_psf_otf
+from cwfa_tpu.data.tiff import read_tiff_stack, write_tiff_stack
+from cwfa_tpu.ops.deconv import xlfm_deconvolve
+from cwfa_tpu.utils.projections import volume_2_projections
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_folder", required=True)
+    p.add_argument("--psf_file", required=True)
+    p.add_argument("--bkg_file", default="")
+    p.add_argument("--lenslet_file", default="")
+    p.add_argument("--images_to_use", nargs="+", type=int, default=[0, 1])
+    p.add_argument("--n_it", type=int, default=50)
+    p.add_argument("--posfix", type=str, default="")
+    p.add_argument("--n_depths", type=int, default=241 // 2)
+    p.add_argument("--vol_xy_size", type=int, default=600)
+    p.add_argument("--n_split_fourier", type=int, default=1,
+                   help="depth chunking for the FFTs (1 = all at once)")
+    p.add_argument("--dark_current", type=int, default=0)
+    p.add_argument("--img_size", type=int, default=2160)
+    return p
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+    args = build_parser().parse_args(argv)
+
+    stack_path = os.path.join(
+        args.data_folder,
+        "XLFM_stack_" + datetime.now().strftime("%Y_%m_%d__%H_%M_%S")
+        + args.posfix)
+    os.makedirs(stack_path, exist_ok=True)
+
+    lenslet = args.lenslet_file or os.path.join(
+        os.path.dirname(args.data_folder.rstrip("/")),
+        "lenslet_centers_python.txt")
+    ds = XLFMDataset(args.data_folder, lenslet,
+                     img_shape=(args.img_size, args.img_size),
+                     images_to_use=args.images_to_use, load_vols=False)
+
+    vol_shape = (args.vol_xy_size, args.vol_xy_size, args.n_depths)
+    otf, psf_hw, full_hw = load_psf_otf(args.psf_file, vol_shape)
+
+    background = 0.0
+    if args.bkg_file:
+        background = read_tiff_stack(args.bkg_file).mean(axis=0)
+
+    with open(os.path.join(stack_path, "arguments.txt"), "w") as f:
+        f.write(str(vars(args)))
+
+    depth_chunk = (None if args.n_split_fourier == 1
+                   else max(args.n_depths // args.n_split_fourier, 1))
+    last_vol = None
+    for pos, img_ix in enumerate(args.images_to_use[: len(ds)]):
+        views = ds.stacked_views[pos][None, None] - background
+        vol, _ = xlfm_deconvolve(
+            otf, jnp.asarray(views), n_iter=args.n_it,
+            obj_hw=(args.vol_xy_size, args.vol_xy_size),
+            roi_depths=min(90, args.n_depths), depth_chunk=depth_chunk)
+        last_vol = np.asarray(vol)[0]
+        write_tiff_stack(
+            os.path.join(stack_path, f"XLFM_stack_{img_ix:03d}.tif"), last_vol)
+        print(f"deconvolved frame {img_ix} -> "
+              f"{stack_path}/XLFM_stack_{img_ix:03d}.tif")
+
+    if last_vol is not None:
+        mip = volume_2_projections(last_vol[None])[0]
+        write_tiff_stack(os.path.join(stack_path, "preview_MIP.tif"), mip)
+    print(f"Output path: {stack_path}")
+    return stack_path
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Training CLI — the reference ``python main.py`` equivalent.
+
+Reference: main.py:21-403.  Builds leave-one-fish-out cross-validation groups
+over the datasets found under --main_data_path (main.py:135-163), loads
+train/finetune-val/test datasets, trains the CWFA coarse-to-fine, then
+evaluates on val/test and runs OOD scoring.
+
+Usage:
+    python -m cwfa_tpu.cli.train --main_data_path <dir> [flags...]
+
+All reference flags are accepted (integer-encoded learning rates included);
+unknown-to-TPU flags (e.g. --main_gpu) are accepted for config parity and
+ignored.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import json
+import os
+from datetime import datetime
+
+import numpy as np
+
+from cwfa_tpu.config import CWFAConfig
+from cwfa_tpu.data import (ConcatXLFMDataset, load_xlfm_data,
+                           make_view_indices)
+from cwfa_tpu.data.dataset import read_lenslet_centers
+from cwfa_tpu.engine.ood import detect_ood
+from cwfa_tpu.engine.trainer import CWFATrainer
+from cwfa_tpu.models.cwfa_model import CWFAModel
+from cwfa_tpu.utils.seeding import set_all_seeds
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    for f in dataclasses.fields(CWFAConfig):
+        name = f"--{f.name}"
+        default = f.default if f.default is not dataclasses.MISSING else None
+        if f.default_factory is not dataclasses.MISSING:  # type: ignore
+            default = f.default_factory()                 # type: ignore
+        if isinstance(default, bool):
+            p.add_argument(name, type=int, default=int(default))
+        elif isinstance(default, (int, float, str)) or default is None:
+            p.add_argument(name, type=type(default) if default is not None
+                           else str, default=default)
+        else:
+            p.add_argument(name, nargs="*", type=float, default=list(default)
+                           if isinstance(default, (tuple, list)) else default)
+    p.add_argument("--img_size", type=int, default=2160,
+                   help="camera frame side (reference psf_size_real)")
+    p.add_argument("--max_samples", type=int, default=None)
+    return p
+
+
+def cross_validation_groups(main_data_path: str, use_sparse: bool):
+    """Leave-one-fish-out CV sets (reference main.py:135-163)."""
+    datasets = sorted(os.path.basename(d.rstrip("/"))
+                      for d in glob.glob(os.path.join(main_data_path, "*"))
+                      if os.path.isdir(d))
+    sub = "SLNet_preprocessed" if use_sparse else "raw"
+    paths = {d: os.path.join(main_data_path, d, sub) for d in datasets}
+    groups = {}
+    for nn in range(len(datasets)):
+        train = [d for i, d in enumerate(datasets) if i != nn]
+        groups[nn] = {"train": train, "val": train, "test": [datasets[nn]]}
+    return groups, paths
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg_kwargs = {f.name: getattr(args, f.name)
+                  for f in dataclasses.fields(CWFAConfig)
+                  if hasattr(args, f.name)}
+    cfg = CWFAConfig(**cfg_kwargs).decode_lrs()
+    set_all_seeds(cfg.seed)
+
+    groups, paths = cross_validation_groups(cfg.main_data_path,
+                                            bool(cfg.use_sparse_for_all))
+    cv = int(cfg.cross_validation_nFold) % max(len(groups), 1)
+    group = groups.get(cv, {"train": list(paths), "val": list(paths),
+                            "test": list(paths)})
+
+    img_shape = (args.img_size, args.img_size)
+    vol_shape = (cfg.volume_side_size, cfg.volume_side_size, cfg.n_depths)
+
+    def load_group(names, images):
+        dss = []
+        for name in names:
+            dss.append(load_xlfm_data(
+                paths[name], cfg.lenslet_file, vol_shape=vol_shape,
+                img_shape=img_shape, images_to_use=images,
+                n_depths_to_fill=cfg.n_depths, ds_id=name,
+                volume_ths=tuple(cfg.volume_ths),
+                volume_quantiles=tuple(cfg.quantile_ths),
+                img_ths=tuple(cfg.images_ths)))
+        return ConcatXLFMDataset(*dss)
+
+    n_imgs = args.max_samples or (
+        cfg.images_to_use if isinstance(cfg.images_to_use, int) else
+        len(cfg.images_to_use))
+    imgs = list(range(int(n_imgs)))
+    train_ds = load_group(group["train"], imgs)
+    val_ds = load_group(group["val"], imgs[: max(len(imgs) // 2, 1)])
+    test_ds = load_group(group["test"], imgs)
+
+    stats = train_ds.get_statistics()
+    coords = read_lenslet_centers(cfg.lenslet_file) + 50
+    vidx = make_view_indices(coords, img_shape,
+                             (cfg.volume_side_size, cfg.volume_side_size))
+    object.__setattr__  # noqa: B018  (lint quiet)
+    cfg = dataclasses.replace(cfg, n_lenslets=len(coords))
+
+    model = CWFAModel.build(cfg)
+    out = os.path.join(cfg.output_testing_path,
+                       datetime.now().strftime("%Y_%m_%d__%H_%M_%S"))
+    trainer = CWFATrainer(model, stats, vidx, output_path=out)
+    counts = model.param_counts(trainer.params)
+    print(f"nParameters: WF: {counts['WF']}\tOmega: {counts['Omega']}\t"
+          f"LRNN: {counts['LRNN']}\t\ttotal: {sum(counts.values())}")
+
+    if cfg.pretrain_models_path:
+        loaded = trainer.load_checkpoints(cfg.pretrain_models_path,
+                                          steps=list(
+                                              cfg.fine_tune_load_checkpoints)
+                                          or None)
+        print(f"Loaded checkpoint steps: {loaded}")
+
+    results = trainer.fit(train_ds, val_ds, test_ds, verbose=True)
+    for tag, res in results.items():
+        psnr = np.mean([r[0] for r in res["psnr"]]) if res["psnr"] else 0
+        print(f"[{tag}] level-0 PSNR {psnr:.3f}  mean time "
+              f"{np.mean(res['times']):.4f}s  min {np.min(res['times']):.4f}s")
+
+    ood = detect_ood(trainer, test_ds)
+    print(f"OOD frames: {int(ood.is_ood.sum())}/{len(ood.is_ood)} "
+          f"(threshold {ood.threshold} at step {ood.step_used})")
+    print(f"Saving directory: {out}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

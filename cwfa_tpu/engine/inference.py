@@ -1,0 +1,91 @@
+"""Batched inference pipeline — the production 3D-reconstruction path.
+
+The reference reconstructs one frame at a time inside its eval loop
+(CWFA.py:865-927, ~0.16 s/frame on GPU).  Here the whole chain — lenslet view
+extraction, normalization, LRNN, four inverse CWF steps, un-normalization —
+is ONE jitted XLA program, batched over frames, optionally sharded over a
+device mesh (batch on the 'data' axis, image rows on the 'space' axis; XLA
+inserts halo exchanges for the convs).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cwfa_tpu.data.stats import DatasetStatistics
+from cwfa_tpu.data.views import extract_views
+from cwfa_tpu.models.cwfa_model import CWFAModel
+
+
+class XLFMReconstructor:
+    """Callable: raw camera frames (B, H, W) -> volumes (B, D, S, S)."""
+
+    def __init__(self, model: CWFAModel, params, mstate,
+                 stats: DatasetStatistics, view_indices, mean_caches,
+                 mesh=None, deterministic: bool = False,
+                 compute_dtype=jnp.float32):
+        self.model = model
+        self.stats = stats
+        self.deterministic = deterministic
+        cfg = model.cfg
+
+        mean_i, std_i = stats.mean_imgs, stats.std_imgs
+        mean_v, std_v = stats.mean_vols, stats.std_vols
+
+        def recon(params, mstate, raw_images, mean_caches, key):
+            views = extract_views(raw_images, view_indices)
+            views_n = ((views - mean_i) / std_i).astype(compute_dtype)
+            b = raw_images.shape[0]
+            mcs = [jnp.broadcast_to(c.astype(compute_dtype),
+                                    (b,) + c.shape[1:]) for c in mean_caches]
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                views_n = jax.lax.with_sharding_constraint(
+                    views_n, NamedSharding(mesh, P("data", None, "space", None)))
+            vol = model.reconstruct(
+                params, mstate, views_n, mcs,
+                z_temperature=cfg.INN_z_temperature,
+                rng=None if deterministic else key,
+                train=False, lrnn_train=not deterministic,
+                n_samples=cfg.INN_n_samples)
+            return vol.astype(jnp.float32) * std_v + mean_v
+
+        self._fn = jax.jit(recon)
+        self._params = params
+        self._mstate = mstate
+        self._mean_caches = [jnp.asarray(c) for c in mean_caches]
+        self._key = jax.random.PRNGKey(cfg.seed)
+
+    def __call__(self, raw_images) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return self._fn(self._params, self._mstate, jnp.asarray(raw_images),
+                        self._mean_caches, sub)
+
+    def warmup(self, batch_size: int, img_hw):
+        dummy = jnp.zeros((batch_size,) + tuple(img_hw), jnp.float32)
+        self(dummy).block_until_ready()
+
+    def throughput(self, raw_images, n_repeats: int = 5):
+        """frames/sec with host timers bracketed by a device->host fetch of a
+        tiny output slice (block_until_ready alone is not a reliable barrier
+        on remote-execution platforms; a value fetch is). The reference uses
+        CUDA events (CWFA.py:683,876,921-924)."""
+        import time
+
+        def barrier(out):
+            # forces full execution of the program the slice depends on,
+            # then transfers only a few bytes
+            return np.asarray(out[0, 0, 0, :4])
+
+        barrier(self(raw_images))
+        times = []
+        for _ in range(n_repeats):
+            t0 = time.perf_counter()
+            barrier(self(raw_images))
+            times.append(time.perf_counter() - t0)
+        frames = raw_images.shape[0]
+        return frames / float(np.mean(times)), frames / float(np.min(times))

@@ -1,0 +1,86 @@
+"""Out-of-distribution detection by exact likelihood + fast finetune.
+
+The flagship CWFA workflow (reference README.md:22, SURVEY.md §5.9): the
+forward pass of each pyramid step yields an exact per-frame NLL; a threshold
+on step ``--step_LL_to_use`` (default 0) at ``--step_LL_ths_to_use``
+(default -1.33, main.py:78-80) flags novel samples, which are then adapted to
+with ~5 minutes of per-step finetuning (the reference's driver module
+``main_OOD.py`` is absent from its repo; the behavior is fully specified by
+evaluate_INN_forward + the stage scheduler, which is what this implements).
+
+Decision rule: NLL above the threshold (lower likelihood than the threshold)
+=> out-of-distribution.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from cwfa_tpu.data.dataset import ConcatXLFMDataset
+from cwfa_tpu.engine.trainer import CWFATrainer
+
+
+@dataclass
+class OODResult:
+    nll_per_frame: np.ndarray        # (n_frames, n_flow_steps)
+    scores: np.ndarray               # (n_frames,) NLL at step_LL_to_use
+    is_ood: np.ndarray               # (n_frames,) bool
+    threshold: float
+    step_used: int
+
+
+def detect_ood(trainer: CWFATrainer, dataset: ConcatXLFMDataset,
+               step_ll_to_use: int | None = None,
+               threshold: float | None = None,
+               tag: str = "ood") -> OODResult:
+    """Score every frame's forward NLL and threshold it."""
+    cfg = trainer.cfg
+    step = cfg.step_LL_to_use if step_ll_to_use is None else step_ll_to_use
+    ths = cfg.step_LL_ths_to_use if threshold is None else threshold
+    trainer.ensure_mean_caches(dataset)
+    nlls = []
+    for ix in range(len(dataset)):
+        _, vol, _ = trainer._sample_inputs(dataset, ix)
+        per_step, _, _, _ = trainer._pyramid(trainer.params, vol,
+                                             trainer._next_key())
+        nlls.append(np.asarray(per_step))
+    nlls = np.stack(nlls)
+    scores = nlls[:, step]
+    return OODResult(nll_per_frame=nlls, scores=scores,
+                     is_ood=scores > ths, threshold=ths, step_used=step)
+
+
+def finetune_on_novel(trainer: CWFATrainer, dataset: ConcatXLFMDataset,
+                      optimize_steps=(1, 2, 3, 4, 5),
+                      epochs_per_step: int = 2, verbose: bool = False):
+    """The ~5-minute adaptation loop: retrain the selected pyramid steps on
+    the novel frames, coarsest selected step first (reference
+    --fine_tune_optimize_steps semantics, CWFA.py:403-412,586-613,748-771).
+
+    ``optimize_steps`` uses the reference's 1-based numbering where step
+    S = INN_max_down_steps is the LRNN and 1 is the finest flow step.
+    """
+    cfg = trainer.cfg
+    n_steps = cfg.INN_max_down_steps
+    losses = {}
+    # novel data invalidates the stage-handoff and GT-pyramid caches
+    trainer.upsampled_cache = {}
+    trainer.gt_cache["train"] = {}
+    eps = max(cfg.epochs // n_steps, 1)
+    # coarsest selected step first (the reference's epoch schedule order);
+    # base_epoch = (n_steps - s)*eps makes stage_for_epoch land on stage s-1
+    # (trainer stage nf == the LRNN for s == n_steps)
+    for s in sorted(set(optimize_steps), reverse=True):
+        base_epoch = (n_steps - s) * eps
+        stage_losses = []
+        for e in range(epochs_per_step):
+            # stay inside this stage's epoch window even if epochs_per_step
+            # exceeds the schedule's window size
+            loss = trainer.train_epoch(dataset, base_epoch + (e % eps))
+            stage_losses.append(loss)
+            if verbose:
+                print(f"finetune step {s} epoch {e}: loss={loss:.5f}")
+        losses[s] = stage_losses
+    return losses

@@ -1,0 +1,87 @@
+"""Mesh construction and sharded train/inference steps.
+
+Design (SURVEY.md §2.6, §5.7-5.8): the CWFA model is small relative to HBM,
+so parameters replicate; scaling axes are
+
+- ``data``: frames per chip (data parallel; gradient psum emitted by XLA);
+- ``space``: the 512-row image axis, sharded for batch-1 latency mode — XLA's
+  SPMD partitioner inserts halo exchanges for the 3x3/7x7 convs, which is the
+  TPU-idiomatic stand-in for sequence/context parallelism (the model has no
+  attention; its long axes are depth and space).
+
+Depth sharding for the RL deconvolution (each depth's 2-D FFT is independent;
+the image sum is one psum) rides the same 'space' axis when used.
+
+All collectives are implicit: jit + NamedSharding — no hand-written NCCL
+analogue exists because none is needed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, n_space: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_space
+    devs = np.asarray(devices[: n_data * n_space]).reshape(n_data, n_space)
+    return Mesh(devs, ("data", "space"))
+
+
+def batch_sharding(mesh: Mesh, with_space: bool = False) -> NamedSharding:
+    """(B, C, H, W) arrays: batch over 'data', optionally rows over 'space'."""
+    return NamedSharding(
+        mesh, P("data", None, "space" if with_space else None, None))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def sharded_train_step(mesh: Mesh, train_step_fn, batch_args_ix):
+    """Wrap a (jitted) train-step function for SPMD execution: batch-shaped
+    args at positions ``batch_args_ix`` are placed with the 'data'(+'space')
+    sharding, everything else replicated; XLA then compiles the step SPMD and
+    emits the gradient all-reduce itself."""
+    rep = replicate(mesh)
+    shd = batch_sharding(mesh, with_space=mesh.shape["space"] > 1)
+
+    def place(x, want_shard):
+        s = shd if (want_shard and getattr(x, "ndim", 0) >= 4) else rep
+        return jax.device_put(x, s)
+
+    def wrapper(*args):
+        placed = [jax.tree_util.tree_map(
+            lambda x, w=(i in batch_args_ix): place(x, w), a)
+            for i, a in enumerate(args)]
+        return train_step_fn(*placed)
+    return wrapper
+
+
+def sharded_reconstruct(mesh: Mesh, model, params, mstate, views_n,
+                        mean_caches, key=None, z_temperature: float = 0.0):
+    """Reconstruction with batch sharded over 'data' and rows over 'space'."""
+    shd = batch_sharding(mesh, with_space=mesh.shape["space"] > 1)
+    rep = replicate(mesh)
+
+    @partial(jax.jit, out_shardings=shd)
+    def run(params, mstate, views_n, mean_caches, key):
+        views_n = jax.lax.with_sharding_constraint(views_n, shd)
+        return model.reconstruct(params, mstate, views_n, mean_caches,
+                                 z_temperature=z_temperature, rng=key,
+                                 train=False,
+                                 lrnn_train=key is not None)
+
+    params = jax.device_put(params, rep)
+    mstate = jax.device_put(mstate, rep)
+    views_n = jax.device_put(views_n, shd)
+    b = views_n.shape[0]
+    mcs = [jax.device_put(jnp.broadcast_to(c, (b,) + c.shape[1:]), shd)
+           for c in mean_caches]
+    return run(params, mstate, views_n, mcs, key)

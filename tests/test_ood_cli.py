@@ -1,0 +1,102 @@
+"""OOD detection + finetune workflow (config 5) and CLI smoke tests."""
+
+import numpy as np
+import jax
+import pytest
+
+from cwfa_tpu.config import CWFAConfig
+from cwfa_tpu.data import (ConcatXLFMDataset, load_xlfm_data,
+                           make_synthetic_dataset, make_view_indices)
+from cwfa_tpu.engine.ood import detect_ood, finetune_on_novel
+from cwfa_tpu.engine.trainer import CWFATrainer
+from cwfa_tpu.models.cwfa_model import CWFAModel
+
+N_DEPTHS, VOL_SIDE, IMG, NLENS, VIEW = 8, 32, 96, 4, 32
+
+
+@pytest.fixture(scope="module")
+def rig(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ood"))
+    info = make_synthetic_dataset(root, n_fish=2, n_frames=2,
+                                  n_depths=N_DEPTHS, vol_side=VOL_SIDE,
+                                  img_size=IMG, n_lenslets=NLENS,
+                                  view_size=VIEW)
+    dss = []
+    for fd in info["fish_dirs"]:
+        dss.append(load_xlfm_data(
+            fd + "/SLNet_preprocessed", info["lenslet_file"],
+            vol_shape=(VOL_SIDE, VOL_SIDE, N_DEPTHS), img_shape=(IMG, IMG),
+            images_to_use=[0, 1], n_depths_to_fill=N_DEPTHS))
+    cat = ConcatXLFMDataset(*dss)
+    cfg = CWFAConfig(n_depths=N_DEPTHS, volume_side_size=VIEW,
+                     n_lenslets=NLENS, INN_max_down_steps=2, INN_n_blocks=1,
+                     INN_internal_chans=8, INN_cond_chans=4, epochs=2,
+                     eval_every=2).decode_lrs()
+    model = CWFAModel.build(cfg)
+    vidx = make_view_indices(dss[0].lenslet_coords, (IMG, IMG), (VIEW, VIEW))
+    stats = cat.get_statistics()
+    return {"cat": cat, "cfg": cfg, "model": model, "vidx": vidx,
+            "stats": stats, "info": info}
+
+
+def test_ood_detect_and_finetune(rig):
+    trainer = CWFATrainer(rig["model"], rig["stats"], rig["vidx"])
+    cat = rig["cat"]
+    res = detect_ood(trainer, cat)
+    assert res.nll_per_frame.shape == (4, 1)
+    assert np.isfinite(res.scores).all()
+    assert res.threshold == rig["cfg"].step_LL_ths_to_use
+
+    # finetune runs all stages and returns finite losses
+    losses = finetune_on_novel(trainer, cat, optimize_steps=(1, 2),
+                               epochs_per_step=1)
+    assert set(losses) == {1, 2}
+    assert all(np.isfinite(v) for ls in losses.values() for v in ls)
+
+    # scores change after finetuning (the model adapted)
+    res2 = detect_ood(trainer, cat)
+    assert not np.allclose(res2.scores, res.scores)
+
+
+def test_deconvolve_cli(rig, tmp_path):
+    from cwfa_tpu.cli.deconvolve import main as deconv_main
+    info = rig["info"]
+    fish = info["fish_dirs"][0] + "/SLNet_preprocessed"
+    out = deconv_main([
+        "--data_folder", fish,
+        "--psf_file", info["psf_file"],
+        "--lenslet_file", info["lenslet_file"],
+        "--images_to_use", "0",
+        "--n_it", "3",
+        "--n_depths", str(N_DEPTHS),
+        "--vol_xy_size", str(VOL_SIDE),
+        "--img_size", str(IMG),
+    ])
+    import glob
+    import os
+    vols = glob.glob(os.path.join(out, "XLFM_stack_*.tif"))
+    assert len(vols) == 1
+
+
+def test_train_cli_smoke(rig, tmp_path):
+    """End-to-end CLI: tiny synthetic tree, 2 epochs, CV fold 0."""
+    from cwfa_tpu.cli.train import main as train_main
+    info = rig["info"]
+    results = train_main([
+        "--main_data_path", info["root"],
+        "--lenslet_file", info["lenslet_file"],
+        "--cross_validation_nFold", "0",
+        "--n_depths", str(N_DEPTHS),
+        "--volume_side_size", str(VIEW),
+        "--img_size", str(IMG),
+        "--epochs", "2",
+        "--eval_every", "2",
+        "--INN_max_down_steps", "2",
+        "--INN_n_blocks", "1",
+        "--INN_internal_chans", "8",
+        "--INN_cond_chans", "4",
+        "--max_samples", "2",
+        "--output_testing_path", str(tmp_path / "out"),
+    ])
+    assert "train" in results
+    assert len(results["train"]["psnr"]) > 0
