@@ -12,8 +12,18 @@ from PIL import Image
 def read_tiff_stack(path: str, pages=None) -> np.ndarray:
     """Read a multipage TIFF into (n_pages, H, W) float32.
 
+    Uses the native C++ reader (native/tiffio.cpp) when available, falling
+    back to PIL for formats it doesn't cover.
+
     pages: optional list of page indices to read (the reference's
     images_to_use ``key=`` selection, XLFMDataset.py:92)."""
+    try:
+        from cwfa_tpu.data.native_tiff import read_tiff_stack_native
+        out = read_tiff_stack_native(path, pages)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     im = Image.open(path)
     n = getattr(im, "n_frames", 1)
     if pages is None:

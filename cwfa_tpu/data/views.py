@@ -50,15 +50,21 @@ def make_view_indices(lenslet_coords: np.ndarray, img_hw, view_hw):
 
 
 def extract_views(image: jax.Array, indices: dict) -> jax.Array:
-    """image: (B, H, W) or (B, 1, H, W) -> views (B, n_lenslets, vh, vw)."""
+    """image: (B, H, W) or (B, 1, H, W) -> views (B, n_lenslets, vh, vw).
+
+    One fused gather over flattened (H*W) indices — a two-stage row/col
+    gather would materialize a (B, n, vh, W) intermediate (~1 GB at batch 8
+    on the 2160^2 camera frames)."""
     if image.ndim == 4:
         image = image[:, 0]
     rows = jnp.asarray(indices["rows"])        # (n, vh)
     cols = jnp.asarray(indices["cols"])        # (n, vw)
     rmask = jnp.asarray(indices["row_mask"], image.dtype)
     cmask = jnp.asarray(indices["col_mask"], image.dtype)
-    # gather rows: (B, n, vh, W)
-    g = image[:, rows]
-    # gather cols: (B, n, vh, vw)
-    g = jnp.take_along_axis(g, cols[None, :, None, :], axis=3)
+    w = image.shape[-1]
+    flat_ix = rows[:, :, None].astype(jnp.int32) * w \
+        + cols[:, None, :].astype(jnp.int32)   # (n, vh, vw)
+    g = jnp.take(image.reshape(image.shape[0], -1),
+                 flat_ix.reshape(-1), axis=1)
+    g = g.reshape(image.shape[0], *flat_ix.shape)
     return g * rmask[None, :, :, None] * cmask[None, :, None, :]

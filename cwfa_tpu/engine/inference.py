@@ -69,23 +69,25 @@ class XLFMReconstructor:
         dummy = jnp.zeros((batch_size,) + tuple(img_hw), jnp.float32)
         self(dummy).block_until_ready()
 
-    def throughput(self, raw_images, n_repeats: int = 5):
-        """frames/sec with host timers bracketed by a device->host fetch of a
-        tiny output slice (block_until_ready alone is not a reliable barrier
-        on remote-execution platforms; a value fetch is). The reference uses
-        CUDA events (CWFA.py:683,876,921-924)."""
+    def throughput(self, raw_images, n_repeats: int = 10):
+        """frames/sec measured by enqueueing n_repeats executions and
+        fetching a tiny slice of the LAST output: the device serializes the
+        executions, so total time = n * t_exec + one host round trip — the
+        round trip amortizes away (block_until_ready alone is not a reliable
+        barrier on remote-execution platforms and a per-call fetch pays the
+        full RPC latency each iteration). The reference uses CUDA events
+        (CWFA.py:683,876,921-924)."""
         import time
 
         def barrier(out):
-            # forces full execution of the program the slice depends on,
-            # then transfers only a few bytes
             return np.asarray(out[0, 0, 0, :4])
 
-        barrier(self(raw_images))
-        times = []
+        barrier(self(raw_images))               # warmup + sync
+        t0 = time.perf_counter()
+        out = None
         for _ in range(n_repeats):
-            t0 = time.perf_counter()
-            barrier(self(raw_images))
-            times.append(time.perf_counter() - t0)
-        frames = raw_images.shape[0]
-        return frames / float(np.mean(times)), frames / float(np.min(times))
+            out = self(raw_images)
+        barrier(out)
+        total = time.perf_counter() - t0
+        frames = raw_images.shape[0] * n_repeats
+        return frames / total, frames / total

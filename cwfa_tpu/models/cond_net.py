@@ -20,8 +20,11 @@ aliasing (an accidental global) is deliberately dropped.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cwfa_tpu import nn as cnn
 
@@ -38,8 +41,69 @@ def init_cond_network(key, c_in: int, c_out: int, chans_3d: int = 32):
     }
 
 
+@lru_cache(maxsize=32)
+def _depth_band(d: int) -> np.ndarray:
+    """band[c, c', dc] = 1 iff c' == c + dc - 1: the SAME-padded 3-tap depth
+    neighborhood as a (D, D, 3) selection tensor."""
+    band = np.zeros((d, d, 3), np.float32)
+    for c in range(d):
+        for dc in range(3):
+            cc = c + dc - 1
+            if 0 <= cc < d:
+                band[c, cc, dc] = 1.0
+    return band
+
+
+def _conv3d_pair_banded(params, out, act, drop_rate, rng):
+    """The cond net's Conv3d(1->K) -> PReLU -> Dropout3d -> Conv3d(K->1)
+    stack (reference networks.py:221-225), executed as two DENSE 2-D convs
+    whose channel-mixing matrices carry the depth band structure.
+
+    Rationale (TPU): a 3-D conv with 1 input channel has a 27-element
+    contraction that XLA lowers terribly on the MXU (~1.4 TFLOP/s measured);
+    baking the tri-diagonal depth coupling into a dense (D -> K*D -> D)
+    conv2d pair trades 4x nominal FLOPs for full MXU tiling (~8x faster
+    end-to-end). Numerics are identical (validated against the direct conv3d
+    path in tests/test_cond_net.py).
+    """
+    d = out.shape[1]
+    wa, ba = params["c3a"]["w"], params["c3a"].get("b")   # (K,1,3,3,3)
+    wb, bb = params["c3b"]["w"], params["c3b"].get("b")   # (1,K,3,3,3)
+    k = wa.shape[0]
+    band = jnp.asarray(_depth_band(d))
+    # kernel dims of the NCDHW conv act on (H, W, C): wa[o, 0, kh, kw, dc]
+    w2a = jnp.einsum("oxyd,cCd->ocCxy", wa[:, 0], band)
+    w2a = w2a.reshape(k * d, d, 3, 3)                     # (o,c)-major out
+    y = cnn.conv2d({"w": w2a}, out)
+    if ba is not None:
+        y = y + jnp.repeat(ba, d).astype(y.dtype)[None, :, None, None]
+    y = act(y)
+    if drop_rate and rng is not None:
+        # Dropout3d drops whole (b, o) feature volumes; channel layout is
+        # (o, c) o-major, so drop per o and broadcast over c
+        keep = 1.0 - drop_rate
+        mask = jax.random.bernoulli(rng, keep, (y.shape[0], k))
+        y = jnp.where(jnp.repeat(mask, d, axis=1)[:, :, None, None],
+                      y / keep, 0.0).astype(y.dtype)
+    w2b = jnp.einsum("oxyd,cCd->coCxy", wb[0], band)
+    w2b = w2b.reshape(d, k * d, 3, 3)
+    z = cnn.conv2d({"w": w2b}, y)
+    if bb is not None:
+        z = z + bb.astype(z.dtype)[None, :, None, None]
+    return z
+
+
+def _conv3d_pair_direct(params, out, act, drop_rate, rng):
+    """Reference-layout path: (B, C, H, W) -> (B, 1, H, W, C) -> Conv3d x2."""
+    v = jnp.transpose(out, (0, 2, 3, 1))[:, None]
+    v = act(cnn.conv3d(params["c3a"], v))
+    v = cnn.dropout3d(v, drop_rate, rng)
+    v = cnn.conv3d(params["c3b"], v)
+    return jnp.transpose(v[:, 0], (0, 3, 1, 2))
+
+
 def cond_network(params, x, *, train: bool = False, rng=None,
-                 dropout3d_rate: float = 0.5):
+                 dropout3d_rate: float = 0.5, conv3d_impl: str = "banded"):
     """x: (B, 29, H, W) -> (B, c_out, H, W)."""
     act = lambda u: cnn.prelu(params["prelu"], u)
     out = act(cnn.conv2d(params["conv1"], x))
@@ -47,13 +111,10 @@ def cond_network(params, x, *, train: bool = False, rng=None,
     residual = cnn.conv2d(params["down"], x)
     out = act(out + residual)
 
-    # 3-D conv over (H, W, C): (B, C, H, W) -> (B, 1, H, W, C)
-    v = jnp.transpose(out, (0, 2, 3, 1))[:, None]
-    v = act(cnn.conv3d(params["c3a"], v))
-    v = cnn.dropout3d(v, dropout3d_rate if train else 0.0, rng)
-    v = cnn.conv3d(params["c3b"], v)
-    out = jnp.transpose(v[:, 0], (0, 3, 1, 2))
-    return out
+    drop = dropout3d_rate if train else 0.0
+    if conv3d_impl == "banded":
+        return _conv3d_pair_banded(params, out, act, drop, rng)
+    return _conv3d_pair_direct(params, out, act, drop, rng)
 
 
 def init_global_attention(key, n_chans: int):

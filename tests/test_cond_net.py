@@ -1,0 +1,57 @@
+"""Condition-network tests: banded-dense conv3d reformulation must match the
+direct NCDHW path bit-for-bit (same math, different schedule)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cwfa_tpu.models.cond_net import (init_cond_network, cond_network,
+                                      _depth_band)
+
+
+def test_depth_band_structure():
+    b = _depth_band(4)
+    # c=0 touches c'=0 (dc=1), c'=1 (dc=2); dc=0 clipped
+    assert b[0, 0, 1] == 1 and b[0, 1, 2] == 1 and b[0, :, 0].sum() == 0
+    assert b[2, 1, 0] == 1 and b[2, 2, 1] == 1 and b[2, 3, 2] == 1
+    assert b.sum() == 4 * 3 - 2
+
+
+def test_banded_matches_direct_eval():
+    key = jax.random.PRNGKey(0)
+    params = init_cond_network(key, 5, 6, chans_3d=4)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(2, 5, 12, 12).astype(np.float32))
+    direct = cond_network(params, x, conv3d_impl="direct")
+    banded = cond_network(params, x, conv3d_impl="banded")
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(direct),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_banded_matches_direct_train_dropout():
+    key = jax.random.PRNGKey(1)
+    params = init_cond_network(key, 3, 4, chans_3d=4)
+    x = jnp.asarray(np.random.RandomState(1)
+                    .randn(1, 3, 8, 8).astype(np.float32))
+    rng = jax.random.PRNGKey(7)
+    direct = cond_network(params, x, train=True, rng=rng,
+                          conv3d_impl="direct")
+    banded = cond_network(params, x, train=True, rng=rng,
+                          conv3d_impl="banded")
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(direct),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_grad_flows_through_banded():
+    key = jax.random.PRNGKey(2)
+    params = init_cond_network(key, 3, 4, chans_3d=4)
+    x = jnp.asarray(np.random.RandomState(2)
+                    .randn(1, 3, 8, 8).astype(np.float32))
+
+    def loss(p):
+        return jnp.sum(cond_network(p, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
