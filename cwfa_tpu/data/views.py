@@ -52,19 +52,31 @@ def make_view_indices(lenslet_coords: np.ndarray, img_hw, view_hw):
 def extract_views(image: jax.Array, indices: dict) -> jax.Array:
     """image: (B, H, W) or (B, 1, H, W) -> views (B, n_lenslets, vh, vw).
 
-    One fused gather over flattened (H*W) indices — a two-stage row/col
-    gather would materialize a (B, n, vh, W) intermediate (~1 GB at batch 8
-    on the 2160^2 camera frames)."""
+    The row/col index tables are contiguous ranges by construction (clipped
+    crop windows), so each view is a STATIC slice — XLA lowers these to plain
+    copies, far faster than a gather at these sizes. Masks zero the
+    off-image region, matching the reference's end-aligned placement."""
     if image.ndim == 4:
         image = image[:, 0]
-    rows = jnp.asarray(indices["rows"])        # (n, vh)
-    cols = jnp.asarray(indices["cols"])        # (n, vw)
-    rmask = jnp.asarray(indices["row_mask"], image.dtype)
-    cmask = jnp.asarray(indices["col_mask"], image.dtype)
-    w = image.shape[-1]
-    flat_ix = rows[:, :, None].astype(jnp.int32) * w \
-        + cols[:, None, :].astype(jnp.int32)   # (n, vh, vw)
-    g = jnp.take(image.reshape(image.shape[0], -1),
-                 flat_ix.reshape(-1), axis=1)
-    g = g.reshape(image.shape[0], *flat_ix.shape)
-    return g * rmask[None, :, :, None] * cmask[None, :, None, :]
+    rows = np.asarray(indices["rows"])         # (n, vh) host tables
+    cols = np.asarray(indices["cols"])
+    rmask = np.asarray(indices["row_mask"])
+    cmask = np.asarray(indices["col_mask"])
+    vh, vw = rows.shape[1], cols.shape[1]
+    views = []
+    for l in range(rows.shape[0]):
+        rvalid = np.nonzero(rmask[l])[0]
+        cvalid = np.nonzero(cmask[l])[0]
+        if len(rvalid) == 0 or len(cvalid) == 0:
+            views.append(jnp.zeros(image.shape[:1] + (vh, vw), image.dtype))
+            continue
+        r_lo, r_hi = int(rows[l, rvalid[0]]), int(rows[l, rvalid[-1]]) + 1
+        c_lo, c_hi = int(cols[l, cvalid[0]]), int(cols[l, cvalid[-1]]) + 1
+        v = jax.lax.slice(image, (0, r_lo, c_lo),
+                          (image.shape[0], r_hi, c_hi))
+        # end-aligned placement: zeros fill the leading (clipped) region
+        v = jnp.pad(v, ((0, 0),
+                        (vh - (r_hi - r_lo), 0),
+                        (vw - (c_hi - c_lo), 0)))
+        views.append(v)
+    return jnp.stack(views, axis=1)

@@ -24,6 +24,7 @@ GradScaler; bf16 needs no loss scaling, so the scaler/fallback machinery
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -62,12 +63,29 @@ def make_optimizers(model: CWFAModel):
 @dataclass
 class TrainLog:
     scalars: dict = field(default_factory=dict)
+    tb_writer: Any = None
 
     def add(self, tag: str, value, step: int):
         self.scalars.setdefault(tag, []).append((step, float(value)))
+        if self.tb_writer is not None:
+            self.tb_writer.add_scalar(tag, value, step)
 
     def last(self, tag: str):
         return self.scalars[tag][-1][1] if self.scalars.get(tag) else None
+
+
+def snapshot_sources(output_path: str):
+    """Zip the package sources into the run directory for reproducibility
+    (reference CWFA.py:558-563 zips *.py into files.zip)."""
+    import zipfile
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zf = zipfile.ZipFile(os.path.join(output_path, "files.zip"), "w")
+    for root, _, files in os.walk(pkg_root):
+        for f in files:
+            if f.endswith((".py", ".cpp", ".md")):
+                full = os.path.join(root, f)
+                zf.write(full, os.path.relpath(full, os.path.dirname(pkg_root)))
+    zf.close()
 
 
 class CWFATrainer:
@@ -81,7 +99,15 @@ class CWFATrainer:
         self.stats = stats
         self.view_indices = view_indices
         self.output_path = output_path
-        self.log = TrainLog()
+        tb = None
+        if output_path:
+            os.makedirs(output_path, exist_ok=True)
+            from cwfa_tpu.utils.tb_writer import SummaryWriter
+            tb = SummaryWriter(output_path)
+            tb.add_text("arguments_general", str(self.cfg.to_dict()), 0)
+            tb.add_scalar("sampling_temperature", self.cfg.INN_z_temperature, 0)
+            snapshot_sources(output_path)
+        self.log = TrainLog(tb_writer=tb)
         self.key = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
 
         self.params, self.mstate = model.init(self._next_key())

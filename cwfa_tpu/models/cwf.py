@@ -160,6 +160,102 @@ def _apply_perm(spec_entry, x, inverse: bool):
     return apply_spatial_perm(x, axis, inv if inverse else perm)
 
 
+# ---------------------------------------------------------------------------
+# Fast CAT path: paired subnet towers
+#
+# ConditionalAffineTransform predicts (s, t) from the CONDITION only
+# (coupling_layers.py:475-500), so every coupling block's subnet takes the
+# same input (the processed views) and they are mutually independent.  On
+# TPU a 64-wide conv wastes half an MXU tile (a 64->64 3x3 conv measures the
+# same latency as 64->128), so consecutive blocks' towers are fused into
+# block-diagonal 128-wide convs — identical numerics, ~1.5x on the dominant
+# convs.  The affine/permute chain then runs as cheap elementwise ops.
+# ---------------------------------------------------------------------------
+
+
+def _bd(wa, wb):
+    """Block-diagonal concat of two OIHW kernels."""
+    oa, ia = wa.shape[:2]
+    ob, ib = wb.shape[:2]
+    top = jnp.concatenate(
+        [wa, jnp.zeros((oa, ib) + wa.shape[2:], wa.dtype)], 1)
+    bot = jnp.concatenate(
+        [jnp.zeros((ob, ia) + wb.shape[2:], wb.dtype), wb], 1)
+    return jnp.concatenate([top, bot], 0)
+
+
+def _pair_conv(pa, pb, shared_input: bool):
+    out = {"w": jnp.concatenate([pa["w"], pb["w"]], 0) if shared_input
+           else _bd(pa["w"], pb["w"])}
+    if "b" in pa:
+        out["b"] = jnp.concatenate([pa["b"], pb["b"]], 0)
+    return out
+
+
+def _paired_tower(pa, pb, cond):
+    """Run two wavelet-flow subnets on the same input as one 2x-wide tower."""
+    paired = {
+        "b1": _pair_conv(pa["b1"], pb["b1"], shared_input=True),
+        "b2a": _pair_conv(pa["b2a"], pb["b2a"], shared_input=False),
+        "b2b": _pair_conv(pa["b2b"], pb["b2b"], shared_input=False),
+        "b4a": _pair_conv(pa["b4a"], pb["b4a"], shared_input=False),
+        "b4b": _pair_conv(pa["b4b"], pb["b4b"], shared_input=False),
+        "b6a": _pair_conv(pa["b6a"], pb["b6a"], shared_input=False),
+        "b6b": _pair_conv(pa["b6b"], pb["b6b"], shared_input=False),
+        "b7": _pair_conv(pa["b7"], pb["b7"], shared_input=False),
+    }
+    out = fs.wavelet_flow_subnet2d(paired, cond)
+    half = out.shape[1] // 2
+    return out[:, :half], out[:, half:]
+
+
+def _cat_block_st(spec: CWFStepSpec, params, c_views):
+    """(s, t) for every coupling block, with consecutive blocks paired."""
+    n = spec.c_flow
+    outs = [None] * spec.n_blocks
+    i = 0
+    while i < spec.n_blocks:
+        if i + 1 < spec.n_blocks:
+            oa, ob = _paired_tower(params["blocks"][i]["subnet"],
+                                   params["blocks"][i + 1]["subnet"], c_views)
+            outs[i], outs[i + 1] = oa, ob
+            i += 2
+        else:
+            outs[i] = fs.wavelet_flow_subnet2d(params["blocks"][i]["subnet"],
+                                               c_views)
+            i += 1
+    fcl = fc.clamp_fn(spec.clamp_activation)
+    st = []
+    for a in outs:
+        s_raw, t = a[:, :n], a[:, n:]
+        s = (spec.clamp * fcl(s_raw.astype(jnp.float32)))
+        st.append((s, t))
+    return st
+
+
+def _cat_chain(spec: CWFStepSpec, params, x, c_views, rev: bool):
+    """The permute/CAT block chain via precomputed (s, t); logdet in fp32."""
+    st = _cat_block_st(spec, params, c_views)
+    logdet = jnp.zeros((x.shape[0],), jnp.float32)
+    if not rev:
+        for nn in range(1, spec.n_blocks + 1):
+            x = _apply_perm(spec.perms[nn - 1], x, inverse=False)
+            s, t = st[nn - 1]
+            x = jnp.exp(s.astype(x.dtype)) * x + t
+            logdet = logdet + jnp.sum(s, axis=tuple(range(1, s.ndim)))
+        if spec.use_final_perm:
+            x = _apply_perm(spec.perms[spec.n_blocks], x, inverse=False)
+    else:
+        if spec.use_final_perm:
+            x = _apply_perm(spec.perms[spec.n_blocks], x, inverse=True)
+        for nn in range(spec.n_blocks, 0, -1):
+            s, t = st[nn - 1]
+            x = (x - t) * jnp.exp(-s.astype(x.dtype))
+            logdet = logdet - jnp.sum(s, axis=tuple(range(1, s.ndim)))
+            x = _apply_perm(spec.perms[nn - 1], x, inverse=True)
+    return x, logdet
+
+
 def _input_block(spec: CWFStepSpec, params, x, c_views, c_mean, rev):
     """Input ConditionalAffineTransform; conditions concatenated as
     [mean_cache | views] (see module docstring)."""
@@ -202,6 +298,9 @@ def cwf_step_forward(spec: CWFStepSpec, params, v, c_views, c_mean):
     logdet = ld
     x, j = _input_block(spec, params, diff, c_views, c_mean, rev=False)
     logdet = logdet + j
+    if spec.block_type == "CAT":
+        x, j = _cat_chain(spec, params, x, c_views, rev=False)
+        return x, avg, logdet + j
     for nn in range(1, spec.n_blocks + 1):
         x = _apply_perm(spec.perms[nn - 1], x, inverse=False)
         x, j = _coupling(spec, params["blocks"][nn - 1], x, c_views, rev=False)
@@ -215,12 +314,16 @@ def cwf_step_reverse(spec: CWFStepSpec, params, z, avg, c_views, c_mean):
     """Generative direction: (z, averages) -> (volume, logdet)."""
     x = z
     logdet = jnp.zeros((z.shape[0],), jnp.float32)
-    if spec.use_final_perm:
-        x = _apply_perm(spec.perms[spec.n_blocks], x, inverse=True)
-    for nn in range(spec.n_blocks, 0, -1):
-        x, j = _coupling(spec, params["blocks"][nn - 1], x, c_views, rev=True)
-        logdet = logdet + j
-        x = _apply_perm(spec.perms[nn - 1], x, inverse=True)
+    if spec.block_type == "CAT":
+        x, logdet = _cat_chain(spec, params, x, c_views, rev=True)
+    else:
+        if spec.use_final_perm:
+            x = _apply_perm(spec.perms[spec.n_blocks], x, inverse=True)
+        for nn in range(spec.n_blocks, 0, -1):
+            x, j = _coupling(spec, params["blocks"][nn - 1], x, c_views,
+                             rev=True)
+            logdet = logdet + j
+            x = _apply_perm(spec.perms[nn - 1], x, inverse=True)
     x, j = _input_block(spec, params, x, c_views, c_mean, rev=True)
     logdet = logdet + j
     v, ld = haar1d_merge(avg, x)

@@ -90,3 +90,40 @@ def test_disable_low_res_variant():
     z, avg, _ = cwf_step_forward(spec, params, v, cv, None)
     v2, _ = cwf_step_reverse(spec, params, z, avg, cv, None)
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v), atol=2e-3)
+
+
+def test_cat_fast_chain_matches_generic():
+    """The paired block-diagonal CAT scheduling must be numerically identical
+    to applying each block's cat_transform in sequence."""
+    from cwfa_tpu.flow import coupling as fc
+    from cwfa_tpu.flow import subnets as fs
+    from cwfa_tpu.models.cwf import _apply_perm
+
+    spec, params = _mk("CAT", n_depths=16, spatial=16, n_blocks=3)
+    rng = np.random.RandomState(5)
+    v = jnp.asarray(rng.randn(2, 16, 16, 16).astype(np.float32))
+    cv = jnp.asarray(rng.randn(2, 8, 16, 16).astype(np.float32))
+    cm = jnp.asarray(rng.randn(2, 8, 16, 16).astype(np.float32))
+
+    z_fast, avg, ld_fast = cwf_step_forward(spec, params, v, cv, cm)
+
+    # slow reference composition
+    from cwfa_tpu.flow.haar import haar1d_split
+    avg2, diff, ld = haar1d_split(v)
+    x, j = fc.cat_transform(
+        fs.wavelet_flow_subnet2d_first, params["input_block"]["subnet"],
+        diff, (cm, cv), clamp=spec.clamp,
+        clamp_activation=spec.clamp_activation)
+    ld = ld + j
+    for nn in range(1, spec.n_blocks + 1):
+        x = _apply_perm(spec.perms[nn - 1], x, inverse=False)
+        x, j = fc.cat_transform(
+            fs.wavelet_flow_subnet2d, params["blocks"][nn - 1]["subnet"],
+            x, (cv,), clamp=spec.clamp, clamp_activation=spec.clamp_activation)
+        ld = ld + j
+    if spec.use_final_perm:
+        x = _apply_perm(spec.perms[spec.n_blocks], x, inverse=False)
+
+    np.testing.assert_allclose(np.asarray(z_fast), np.asarray(x), atol=2e-4,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld_fast), np.asarray(ld), rtol=1e-4)
