@@ -51,7 +51,7 @@ class XLFMReconstructor:
                 z_temperature=cfg.INN_z_temperature,
                 rng=None if deterministic else key,
                 train=False, lrnn_train=not deterministic,
-                n_samples=cfg.INN_n_samples)
+                n_samples=cfg.INN_n_samples, fast=True)
             return vol.astype(jnp.float32) * std_v + mean_v
 
         self._fn = jax.jit(recon)

@@ -209,8 +209,10 @@ def _paired_tower(pa, pb, cond):
     return out[:, :half], out[:, half:]
 
 
-def _cat_block_st(spec: CWFStepSpec, params, c_views):
-    """(s, t) for every coupling block, with consecutive blocks paired."""
+def _cat_block_st(spec: CWFStepSpec, params, c_views, raw: bool = False):
+    """(s, t) for every coupling block, with consecutive blocks paired.
+    raw=True returns the pre-clamp s_raw (the Pallas fast path clamps
+    in-kernel)."""
     n = spec.c_flow
     outs = [None] * spec.n_blocks
     i = 0
@@ -228,9 +230,40 @@ def _cat_block_st(spec: CWFStepSpec, params, c_views):
     st = []
     for a in outs:
         s_raw, t = a[:, :n], a[:, n:]
-        s = (spec.clamp * fcl(s_raw.astype(jnp.float32)))
-        st.append((s, t))
+        if raw:
+            st.append((s_raw, t))
+        else:
+            st.append((spec.clamp * fcl(s_raw.astype(jnp.float32)), t))
     return st
+
+
+def _cat_reverse_fast(spec: CWFStepSpec, params, z, avg, c_views, c_mean):
+    """Inference-only reverse of a CAT step using the Pallas fused kernels
+    (cwfa_tpu.ops.pallas_flow): clamp+affine fused per block, and the input
+    affine fused with the inverse Haar butterfly. No logdet, no grads."""
+    from cwfa_tpu.ops.pallas_flow import cat_affine, haar_merge_affine
+
+    n = spec.c_flow
+    st = _cat_block_st(spec, params, c_views, raw=True)
+    x = z
+    if spec.use_final_perm:
+        x = _apply_perm(spec.perms[spec.n_blocks], x, inverse=True)
+    for nn in range(spec.n_blocks, 0, -1):
+        s_raw, t = st[nn - 1]
+        x = cat_affine(x, s_raw, t, rev=True, clamp=spec.clamp,
+                       activation=spec.clamp_activation)
+        x = _apply_perm(spec.perms[nn - 1], x, inverse=True)
+    if spec.disable_low_res_input:
+        a = fs.wavelet_flow_subnet2d(params["input_block"]["subnet"], c_views)
+    else:
+        a = fs.wavelet_flow_subnet2d_first(
+            params["input_block"]["subnet"],
+            jnp.concatenate([c_mean, c_views], axis=1))
+    s_raw_in, t_in = a[:, :n], a[:, n:]
+    v = haar_merge_affine(x, s_raw_in, t_in, avg, clamp=spec.clamp,
+                          activation=spec.clamp_activation)
+    logdet = jnp.zeros((z.shape[0],), jnp.float32)  # not tracked (inference)
+    return v, logdet
 
 
 def _cat_chain(spec: CWFStepSpec, params, x, c_views, rev: bool):
@@ -310,8 +343,14 @@ def cwf_step_forward(spec: CWFStepSpec, params, v, c_views, c_mean):
     return x, avg, logdet
 
 
-def cwf_step_reverse(spec: CWFStepSpec, params, z, avg, c_views, c_mean):
-    """Generative direction: (z, averages) -> (volume, logdet)."""
+def cwf_step_reverse(spec: CWFStepSpec, params, z, avg, c_views, c_mean,
+                     fast: bool = False):
+    """Generative direction: (z, averages) -> (volume, logdet).
+
+    fast=True uses the Pallas fused kernels (inference only: no logdet, no
+    gradients); available for CAT steps on TPU."""
+    if fast and spec.block_type == "CAT":
+        return _cat_reverse_fast(spec, params, z, avg, c_views, c_mean)
     x = z
     logdet = jnp.zeros((z.shape[0],), jnp.float32)
     if spec.block_type == "CAT":

@@ -147,7 +147,8 @@ class CWFAModel:
     def reconstruct(self, params, state, cond_input, mean_caches, *,
                     z_temperature: float = 0.0, rng=None, train: bool = False,
                     lrnn_train: bool | None = None,
-                    n_samples: int = 1, return_pyramid: bool = False):
+                    n_samples: int = 1, return_pyramid: bool = False,
+                    fast: bool = False):
         """Full generative chain (CWFA.py:865-927): LRNN at the coarsest
         level, then invert flow steps k = n-1..0, doubling depth each time.
 
@@ -181,11 +182,12 @@ class CWFAModel:
                 up_in = jnp.tile(up, (n_samples, 1, 1, 1))
                 cv = jnp.tile(c_views, (n_samples, 1, 1, 1))
                 cm = jnp.tile(c_mean, (n_samples, 1, 1, 1))
-                v, _ = cwf_step_reverse(spec, params["flow"][k], z, up_in, cv, cm)
+                v, _ = cwf_step_reverse(spec, params["flow"][k], z, up_in,
+                                        cv, cm, fast=fast)
                 v = v.reshape((n_samples, b) + v.shape[1:]).mean(0)
             else:
                 v, _ = cwf_step_reverse(spec, params["flow"][k], z, up,
-                                        c_views, c_mean)
+                                        c_views, c_mean, fast=fast)
             up = v
             pyramid[k] = up
         if return_pyramid:
