@@ -328,13 +328,22 @@ class CWFATrainer:
         return mean_loss
 
     # --------------------------------------------------------- evaluation
-    def evaluate(self, dataset: ConcatXLFMDataset, tag: str = "val"):
+    def evaluate(self, dataset: ConcatXLFMDataset, tag: str = "val",
+                 neural_coords=None, epoch: int | None = None,
+                 save_volumes: bool | None = None):
         """Full-chain reconstruction + per-level metrics + timing
-        (CWFA.py:1033-1169). Returns a results dict."""
+        (CWFA.py:1033-1169). Returns a results dict.
+
+        neural_coords: optional per-fish list of (x, y, z) neuron coordinate
+        lists; when given and the dataset has multiple frames, Pearson
+        correlation of temporal traces is computed (corr_coeff_3D,
+        CWFA.py:240-379).
+        """
         self.ensure_mean_caches(dataset)
         nf = self.model.n_flow_steps
         res = {"psnr": [], "MAPE": [], "times": [], "volumes_pred": [],
-               "volumes_gt": [], "nll": []}
+               "volumes_gt": [], "nll": [], "CC": None,
+               "projections_gt": [], "projections_predicted": []}
         for ix in range(len(dataset)):
             views_n, vol, mean_caches = self._sample_inputs(dataset, ix)
             gt_cache = self._gt_pyramid(tag, ix, vol)
@@ -342,7 +351,7 @@ class CWFATrainer:
             t0 = time.perf_counter()
             volume, pyramid = self._recon_eval(self.params, self.mstate,
                                                views_n, mean_caches, key)
-            volume.block_until_ready()
+            np.asarray(volume[0, 0, 0, :2])  # device sync barrier
             res["times"].append(time.perf_counter() - t0)
             psnrs, mapes = [], []
             for lvl in range(nf + 1):
@@ -362,6 +371,61 @@ class CWFATrainer:
             res["volumes_pred"].append(pred_out)
             nlls, _, _, _ = self._pyramid(self.params, vol, self._next_key())
             res["nll"].append(np.asarray(nlls))
+
+        # MIP projections of level 0 (CWFA.py:1081-1085)
+        from cwfa_tpu.utils.projections import volume_2_projections
+        res["projections_gt"] = [volume_2_projections(v[None])[0]
+                                 for v in res["volumes_gt"][:10]]
+        res["projections_predicted"] = [volume_2_projections(v[None])[0]
+                                        for v in res["volumes_pred"][:10]]
+
+        # neural-activity correlation per fish (CWFA.py:1095-1117)
+        if neural_coords is not None and len(dataset) > 1:
+            from cwfa_tpu.engine.metrics import corr_coeff_3d
+            n_ds = len(dataset.datasets)
+            per_ds = len(dataset) // max(n_ds, 1)
+            ccs = []
+            for di in range(n_ds):
+                sl = slice(di * per_ds, (di + 1) * per_ds)
+                gt_stack = np.stack(res["volumes_gt"][sl])
+                pr_stack = np.stack(res["volumes_pred"][sl])
+                coords = neural_coords[di] if di < len(neural_coords) else []
+                if len(coords) and gt_stack.shape[0] > 1:
+                    cc, _ = corr_coeff_3d(
+                        gt_stack, pr_stack, coords,
+                        filter_width=int(self.cfg.neural_activation_filter_width))
+                    ccs.append(float(np.mean(cc)) if len(cc) else 0.0)
+            res["CC"] = float(np.mean(ccs)) if ccs else 0.0
+
+        # logging parity (CWFA.py:1119-1142, 1210-1211)
+        step = epoch if epoch is not None else 0
+        for lvl in range(nf + 1):
+            self.log.add(f"fine_tune/psnr/{tag}/step_{lvl}",
+                         float(np.mean([r[lvl] for r in res["psnr"]])), step)
+            self.log.add(f"fine_tune/masked_psnr/{tag}/step_{lvl}",
+                         float(np.mean([r[lvl] for r in res["MAPE"]])), step)
+        self.log.add(f"time/mean/{tag}", float(np.mean(res["times"])), step)
+        self.log.add(f"time/min/{tag}", float(np.min(res["times"])), step)
+        if res["CC"] is not None:
+            self.log.add(f"corr_coeff_mean_{tag}/pred", res["CC"], step)
+
+        # TIFF volume dumps (CWFA.py:1047-1055)
+        if save_volumes is None:
+            save_volumes = bool(self.cfg.save_tiff_volumes) and \
+                self.output_path is not None
+        if save_volumes and self.output_path:
+            from cwfa_tpu.data.tiff import write_tiff_stack
+            for sub in ("gt", "pred"):
+                os.makedirs(os.path.join(self.output_path, "stacks", sub),
+                            exist_ok=True)
+            for ix, (g, p) in enumerate(zip(res["volumes_gt"],
+                                            res["volumes_pred"])):
+                write_tiff_stack(os.path.join(
+                    self.output_path, "stacks", "gt", f"stack_{ix:03d}.tif"),
+                    np.maximum(g, 0).astype(np.float32))
+                write_tiff_stack(os.path.join(
+                    self.output_path, "stacks", "pred", f"stack_{ix:03d}.tif"),
+                    np.maximum(p, 0).astype(np.float32))
         return res
 
     # ---------------------------------------------------------------- fit

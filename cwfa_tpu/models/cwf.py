@@ -239,9 +239,12 @@ def _cat_block_st(spec: CWFStepSpec, params, c_views, raw: bool = False):
 
 def _cat_reverse_fast(spec: CWFStepSpec, params, z, avg, c_views, c_mean):
     """Inference-only reverse of a CAT step using the Pallas fused kernels
-    (cwfa_tpu.ops.pallas_flow): clamp+affine fused per block, and the input
-    affine fused with the inverse Haar butterfly. No logdet, no grads."""
-    from cwfa_tpu.ops.pallas_flow import cat_affine, haar_merge_affine
+    (cwfa_tpu.ops.pallas_flow): exp+affine fused per block, and the input
+    affine fused with the inverse Haar butterfly. The soft clamp runs in XLA
+    (fused into the subnet tail; Pallas TPU lacks an atan lowering).
+    No logdet, no grads."""
+    from cwfa_tpu.ops.pallas_flow import (cat_affine, clamp_s,
+                                          haar_merge_affine)
 
     n = spec.c_flow
     st = _cat_block_st(spec, params, c_views, raw=True)
@@ -250,8 +253,8 @@ def _cat_reverse_fast(spec: CWFStepSpec, params, z, avg, c_views, c_mean):
         x = _apply_perm(spec.perms[spec.n_blocks], x, inverse=True)
     for nn in range(spec.n_blocks, 0, -1):
         s_raw, t = st[nn - 1]
-        x = cat_affine(x, s_raw, t, rev=True, clamp=spec.clamp,
-                       activation=spec.clamp_activation)
+        s = clamp_s(s_raw, spec.clamp, spec.clamp_activation).astype(x.dtype)
+        x = cat_affine(x, s, t, rev=True)
         x = _apply_perm(spec.perms[nn - 1], x, inverse=True)
     if spec.disable_low_res_input:
         a = fs.wavelet_flow_subnet2d(params["input_block"]["subnet"], c_views)
@@ -259,9 +262,9 @@ def _cat_reverse_fast(spec: CWFStepSpec, params, z, avg, c_views, c_mean):
         a = fs.wavelet_flow_subnet2d_first(
             params["input_block"]["subnet"],
             jnp.concatenate([c_mean, c_views], axis=1))
-    s_raw_in, t_in = a[:, :n], a[:, n:]
-    v = haar_merge_affine(x, s_raw_in, t_in, avg, clamp=spec.clamp,
-                          activation=spec.clamp_activation)
+    s_in = clamp_s(a[:, :n], spec.clamp, spec.clamp_activation).astype(x.dtype)
+    t_in = a[:, n:]
+    v = haar_merge_affine(x, s_in, t_in, avg)
     logdet = jnp.zeros((z.shape[0],), jnp.float32)  # not tracked (inference)
     return v, logdet
 
@@ -320,6 +323,26 @@ def _coupling(spec: CWFStepSpec, bp, x, c_views, rev):
                                    (fs.wavelet_flow_subnet2d, bp["subnet"]),
                                    x, conds, rev=rev, clamp=spec.clamp)
     raise ValueError(bt)
+
+
+def reset_permutations(spec: CWFStepSpec, seed: int = 1234) -> CWFStepSpec:
+    """Regenerate the step's spatial (PermuteDim) permutations with a fresh
+    seed (reference reset_perm, networks.py:153-163, applied to finetuned
+    steps at CWFA.py:538). The reference draws the axis choice from the
+    global RNG at reset time; here a local RandomState(seed) supplies it —
+    deterministic, documented divergence."""
+    import dataclasses as _dc
+    from cwfa_tpu.flow.permute import make_spatial_perm
+    rng = np.random.RandomState(seed)
+    new_perms = []
+    for entry in spec.perms:
+        if entry[0] == "spatial":
+            axis, perm, inv = make_spatial_perm(spec.spatial, seed=seed,
+                                                rng=rng)
+            new_perms.append(("spatial", axis, perm, inv))
+        else:
+            new_perms.append(entry)
+    return _dc.replace(spec, perms=tuple(new_perms))
 
 
 def cwf_step_forward(spec: CWFStepSpec, params, v, c_views, c_mean):

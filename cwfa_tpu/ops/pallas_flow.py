@@ -4,19 +4,20 @@ Two fused kernels cover the element-wise spine of every CWF step (the convs
 stay in XLA, which tiles them onto the MXU):
 
 - ``haar_merge_affine``: the inverse-direction fusion
-      diff = (z - t) * exp(-clamp * f(s_raw))        [inverse CAT affine]
+      diff = (z - t) * exp(-s)                       [inverse CAT affine]
       out[:, 0::2] = (avg + diff) / sqrt(2)          [inverse Haar butterfly]
       out[:, 1::2] = (avg - diff) / sqrt(2)
   One VMEM pass instead of an XLA chain that materializes diff and the two
   butterfly halves in HBM (reference math: coupling_layers.py:475-500 +
   INN_utils.py:158-161).
 
-- ``cat_affine``: standalone fused soft-clamped affine (fwd and rev) used
-  between permutes where the Haar fusion doesn't apply.
+- ``cat_affine``: fused exp+affine (fwd and rev) used between permutes where
+  the Haar fusion doesn't apply.
 
-Both kernels run in float32 internally regardless of the storage dtype and
-fall back to stock jnp code (``*_reference``) under ``interpret=True`` for
-CPU tests; the public entry points pick Pallas on TPU, jnp elsewhere.
+The soft clamp s = clamp * f(s_raw) runs OUTSIDE the kernels (XLA fuses it
+into the subnet's last conv; Pallas TPU has no ``atan`` lowering).  Kernels
+compute in float32 internally regardless of storage dtype and fall back to
+stock jnp code under ``interpret=True`` / non-TPU backends.
 """
 
 from __future__ import annotations
@@ -33,7 +34,8 @@ from jax.experimental import pallas as pl
 _SQRT2_INV = 1.0 / math.sqrt(2.0)
 
 
-def _clamp_f32(s_raw, clamp: float, activation: str):
+def clamp_s(s_raw, clamp: float = 2.0, activation: str = "ATAN"):
+    """Soft clamp (reference coupling_layers.py:50-60), fp32."""
     s = s_raw.astype(jnp.float32)
     if activation == "ATAN":
         return clamp * 0.636 * jnp.arctan(s)
@@ -45,15 +47,13 @@ def _clamp_f32(s_raw, clamp: float, activation: str):
 
 
 # ---------------------------------------------------------------------------
-# reference (jnp) implementations
+# reference (jnp) implementations — s is already clamped
 # ---------------------------------------------------------------------------
 
 
-def haar_merge_affine_reference(z, s_raw, t, avg, clamp=2.0,
-                                activation="ATAN"):
-    s = _clamp_f32(s_raw, clamp, activation)
+def haar_merge_affine_reference(z, s, t, avg):
     diff = ((z.astype(jnp.float32) - t.astype(jnp.float32))
-            * jnp.exp(-s))
+            * jnp.exp(-s.astype(jnp.float32)))
     a = avg.astype(jnp.float32)
     even = (a + diff) * _SQRT2_INV
     odd = (a - diff) * _SQRT2_INV
@@ -63,14 +63,11 @@ def haar_merge_affine_reference(z, s_raw, t, avg, clamp=2.0,
     return out.astype(avg.dtype)
 
 
-def cat_affine_reference(x, s_raw, t, rev=False, clamp=2.0,
-                         activation="ATAN"):
-    s = _clamp_f32(s_raw, clamp, activation)
+def cat_affine_reference(x, s, t, rev=False):
     xf = x.astype(jnp.float32)
-    if rev:
-        y = (xf - t.astype(jnp.float32)) * jnp.exp(-s)
-    else:
-        y = jnp.exp(s) * xf + t.astype(jnp.float32)
+    sf = s.astype(jnp.float32)
+    tf = t.astype(jnp.float32)
+    y = (xf - tf) * jnp.exp(-sf) if rev else jnp.exp(sf) * xf + tf
     return y.astype(x.dtype)
 
 
@@ -79,11 +76,10 @@ def cat_affine_reference(x, s_raw, t, rev=False, clamp=2.0,
 # ---------------------------------------------------------------------------
 
 
-def _haar_merge_affine_kernel(z_ref, s_ref, t_ref, avg_ref, out_ref, *,
-                              clamp, activation):
-    s = _clamp_f32(s_ref[...], clamp, activation)
+def _haar_merge_affine_kernel(z_ref, s_ref, t_ref, avg_ref, out_ref):
     diff = (z_ref[...].astype(jnp.float32)
-            - t_ref[...].astype(jnp.float32)) * jnp.exp(-s)
+            - t_ref[...].astype(jnp.float32)) * jnp.exp(
+                -s_ref[...].astype(jnp.float32))
     a = avg_ref[...].astype(jnp.float32)
     even = ((a + diff) * _SQRT2_INV).astype(out_ref.dtype)
     odd = ((a - diff) * _SQRT2_INV).astype(out_ref.dtype)
@@ -93,20 +89,22 @@ def _haar_merge_affine_kernel(z_ref, s_ref, t_ref, avg_ref, out_ref, *,
     out_ref[...] = inter
 
 
-def _cat_affine_kernel(x_ref, s_ref, t_ref, out_ref, *, clamp, activation,
-                       rev):
-    s = _clamp_f32(s_ref[...], clamp, activation)
+def _cat_affine_kernel(x_ref, s_ref, t_ref, out_ref, *, rev):
     xf = x_ref[...].astype(jnp.float32)
-    if rev:
-        y = (xf - t_ref[...].astype(jnp.float32)) * jnp.exp(-s)
-    else:
-        y = jnp.exp(s) * xf + t_ref[...].astype(jnp.float32)
+    sf = s_ref[...].astype(jnp.float32)
+    tf = t_ref[...].astype(jnp.float32)
+    y = (xf - tf) * jnp.exp(-sf) if rev else jnp.exp(sf) * xf + tf
     out_ref[...] = y.astype(out_ref.dtype)
 
 
-def _row_tile(h: int) -> int:
+def _row_tile(h: int, c: int, w: int, itemsize: int, n_buffers: int,
+              vmem_budget: int = 8 * 1024 * 1024) -> int:
+    """Largest row tile whose double-buffered working set fits the VMEM
+    budget (~half of the 16 MB scoped limit)."""
+    per_row = c * w * itemsize * n_buffers * 2   # x2: pipeline double buffer
+    cap = max(vmem_budget // max(per_row, 1), 1)
     for t in (64, 32, 16, 8, 4, 2, 1):
-        if h % t == 0:
+        if t <= cap and h % t == 0:
             return t
     return 1
 
@@ -118,44 +116,38 @@ def _on_tpu() -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("clamp", "activation",
-                                             "interpret"))
-def haar_merge_affine(z, s_raw, t, avg, clamp: float = 2.0,
-                      activation: str = "ATAN", interpret: bool = False):
-    """Fused inverse CAT affine + inverse depth-Haar.
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def haar_merge_affine(z, s, t, avg, interpret: bool = False):
+    """Fused inverse CAT affine + inverse depth-Haar; s pre-clamped.
 
-    z, s_raw, t, avg: (B, C, H, W) -> out (B, 2C, H, W)."""
+    z, s, t, avg: (B, C, H, W) -> out (B, 2C, H, W)."""
     if not interpret and not _on_tpu():
-        return haar_merge_affine_reference(z, s_raw, t, avg, clamp, activation)
+        return haar_merge_affine_reference(z, s, t, avg)
     b, c, h, w = z.shape
-    th = _row_tile(h)
+    th = _row_tile(h, c, w, z.dtype.itemsize, n_buffers=6)  # 4 in + 2C out
     grid = (b, h // th)
     spec = pl.BlockSpec((1, c, th, w), lambda i, j: (i, 0, j, 0))
     out_spec = pl.BlockSpec((1, 2 * c, th, w), lambda i, j: (i, 0, j, 0))
     return pl.pallas_call(
-        functools.partial(_haar_merge_affine_kernel, clamp=clamp,
-                          activation=activation),
+        _haar_merge_affine_kernel,
         out_shape=jax.ShapeDtypeStruct((b, 2 * c, h, w), avg.dtype),
         grid=grid, in_specs=[spec] * 4, out_specs=out_spec,
         interpret=interpret,
-    )(z, s_raw, t, avg)
+    )(z, s, t, avg)
 
 
-@functools.partial(jax.jit, static_argnames=("rev", "clamp", "activation",
-                                             "interpret"))
-def cat_affine(x, s_raw, t, rev: bool = False, clamp: float = 2.0,
-               activation: str = "ATAN", interpret: bool = False):
-    """Fused soft-clamped conditional affine (no logdet — inference path)."""
+@functools.partial(jax.jit, static_argnames=("rev", "interpret"))
+def cat_affine(x, s, t, rev: bool = False, interpret: bool = False):
+    """Fused conditional affine (no logdet — inference path); s pre-clamped."""
     if not interpret and not _on_tpu():
-        return cat_affine_reference(x, s_raw, t, rev, clamp, activation)
+        return cat_affine_reference(x, s, t, rev)
     b, c, h, w = x.shape
-    th = _row_tile(h)
+    th = _row_tile(h, c, w, x.dtype.itemsize, n_buffers=4)  # 3 in + 1 out
     grid = (b, h // th)
     spec = pl.BlockSpec((1, c, th, w), lambda i, j: (i, 0, j, 0))
     return pl.pallas_call(
-        functools.partial(_cat_affine_kernel, clamp=clamp,
-                          activation=activation, rev=rev),
+        functools.partial(_cat_affine_kernel, rev=rev),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=grid, in_specs=[spec] * 3, out_specs=spec,
         interpret=interpret,
-    )(x, s_raw, t)
+    )(x, s, t)

@@ -1,0 +1,92 @@
+"""Tests for auxiliary pieces: XLFMNet training, plots, projections,
+TB writer integration, ActNorm, permutation reset, losses."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cwfa_tpu.engine import losses as L
+from cwfa_tpu.flow.actnorm import actnorm, actnorm_data_init, init_actnorm
+
+
+def test_xlfmnet_training_reduces_loss():
+    from cwfa_tpu.engine.xlfmnet_train import train_xlfmnet
+    from cwfa_tpu.models.xlfmnet import XLFMNetSpec
+    rng = np.random.RandomState(0)
+    spec = XLFMNetSpec(in_views=4, out_depths=8)
+    # needs H,W divisible by 2^(depth-1)=16
+    views = jnp.asarray(rng.rand(2, 4, 32, 32).astype(np.float32))
+    vols = jnp.asarray(rng.rand(2, 8, 32, 32).astype(np.float32))
+    params, state, losses = train_xlfmnet(spec, views, vols, n_steps=6,
+                                          learning_rate=1e-3)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 2  # sane trajectory
+
+
+def test_actnorm_data_init_and_roundtrip():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray((3.0 * rng.randn(8, 4, 5, 5) + 2.0).astype(np.float32))
+    p = actnorm_data_init(x)
+    y, ld_f = actnorm(p, x)
+    # normalized per channel
+    np.testing.assert_allclose(np.asarray(y).mean(axis=(0, 2, 3)), 0,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y).std(axis=(0, 2, 3)), 1,
+                               atol=1e-3)
+    x2, ld_r = actnorm(p, y, rev=True)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld_f), -np.asarray(ld_r), rtol=1e-5)
+
+
+def test_reset_permutations():
+    from cwfa_tpu.models.cwf import build_step_specs, reset_permutations
+    spec = build_step_specs(16, 16, 1, 4, "CAT", 8, True, True, False, 7)[0]
+    new = reset_permutations(spec)
+    # channel perms untouched, spatial perms regenerated
+    for old_e, new_e in zip(spec.perms, new.perms):
+        assert old_e[0] == new_e[0]
+        if old_e[0] == "channel":
+            np.testing.assert_array_equal(old_e[1], new_e[1])
+
+
+def test_weighted_mse_loss_reference_semantics():
+    """Masked where either side is below 5% of its shifted max; mean over ALL
+    elements (losses.py:477-500)."""
+    gt = jnp.asarray(np.array([[[[0.0, 10.0], [0.5, 9.0]]]], np.float32))
+    pred = jnp.asarray(np.array([[[[0.1, 8.0], [0.4, 0.0]]]], np.float32))
+    got = float(L.weighted_mse_loss(gt, pred))
+    out_shift = np.asarray(gt) - 0.0
+    tgt_shift = np.asarray(pred) - 0.0
+    om = out_shift > out_shift.max() * 0.05
+    tm = tgt_shift > tgt_shift.max() * 0.05
+    want = ((np.asarray(gt) - np.asarray(pred)) ** 2 * om * tm).mean()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_psnr_special_cases():
+    z = jnp.zeros((4, 4))
+    assert float(L.psnr(z, z)) == 0.0           # both empty
+    o = jnp.ones((4, 4))
+    assert float(L.psnr(o, o)) == 100.0         # identical, nonzero
+    assert 5 < float(L.psnr(o, o * 0.5)) < 100
+
+
+def test_projections_shapes():
+    from cwfa_tpu.utils.projections import (volume_2_projections,
+                                            composite_projection,
+                                            create_image_pyramid)
+    vol = np.random.RandomState(2).rand(1, 8, 16, 16).astype(np.float32)
+    mip = volume_2_projections(vol)
+    assert mip.shape == (1, 16 + 16 + 2, 16 + 16 + 2)
+    comp = composite_projection(vol[0])
+    assert comp.shape == (16 + 8, 16 + 8)
+    pyr = create_image_pyramid([np.random.rand(16, 16),
+                                np.random.rand(8, 8)])
+    assert pyr.ndim == 2 and np.isfinite(pyr).all()
+
+
+def test_plot_distributions():
+    from cwfa_tpu.utils.plots import plot_distributions, figure_to_array
+    fig = plot_distributions(np.random.randn(100), np.random.randn(100) + 1)
+    arr = figure_to_array(fig)
+    assert arr.ndim == 3 and arr.shape[2] == 3
