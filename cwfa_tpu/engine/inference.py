@@ -27,7 +27,7 @@ class XLFMReconstructor:
     def __init__(self, model: CWFAModel, params, mstate,
                  stats: DatasetStatistics, view_indices, mean_caches,
                  mesh=None, deterministic: bool = False,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, use_pallas: bool = False):
         self.model = model
         self.stats = stats
         self.deterministic = deterministic
@@ -51,7 +51,7 @@ class XLFMReconstructor:
                 z_temperature=cfg.INN_z_temperature,
                 rng=None if deterministic else key,
                 train=False, lrnn_train=not deterministic,
-                n_samples=cfg.INN_n_samples, fast=True)
+                n_samples=cfg.INN_n_samples, fast=use_pallas)
             return vol.astype(jnp.float32) * std_v + mean_v
 
         self._fn = jax.jit(recon)

@@ -220,7 +220,7 @@ class CWFATrainer:
                 params, mstate, views_n, mean_caches,
                 z_temperature=cfg.INN_z_temperature, rng=key, train=False,
                 lrnn_train=True, n_samples=cfg.INN_n_samples,
-                return_pyramid=True, fast=True)
+                return_pyramid=True, fast=False)
             return vol, [pyr[i] for i in range(nf + 1)]
         self._recon_eval = jax.jit(recon_eval)
 
