@@ -110,7 +110,6 @@ def main(argv=None):
     coords = read_lenslet_centers(cfg.lenslet_file) + 50
     vidx = make_view_indices(coords, img_shape,
                              (cfg.volume_side_size, cfg.volume_side_size))
-    object.__setattr__  # noqa: B018  (lint quiet)
     cfg = dataclasses.replace(cfg, n_lenslets=len(coords))
 
     model = CWFAModel.build(cfg)
@@ -128,7 +127,21 @@ def main(argv=None):
                                           or None)
         print(f"Loaded checkpoint steps: {loaded}")
 
-    results = trainer.fit(train_ds, val_ds, test_ds, verbose=True)
+    # per-fish neuron coordinates for the CC metric (main.py:343-347)
+    from cwfa_tpu.engine.metrics import read_neural_coordinates
+    neural_coords = {}
+    for tag, names in (("train", group["train"]), ("val", group["val"]),
+                       ("test", group["test"])):
+        cc = []
+        for name in names:
+            csv_path = os.path.join(paths[name],
+                                    "Neural_activity_coordinates.csv")
+            cc.append(read_neural_coordinates(csv_path)
+                      if os.path.exists(csv_path) else [])
+        neural_coords[tag] = cc
+
+    results = trainer.fit(train_ds, val_ds, test_ds, verbose=True,
+                          neural_coords=neural_coords)
     for tag, res in results.items():
         psnr = np.mean([r[0] for r in res["psnr"]]) if res["psnr"] else 0
         print(f"[{tag}] level-0 PSNR {psnr:.3f}  mean time "

@@ -36,6 +36,26 @@ def compute_step_performance(gt_volume, pred_volume, step, mean, std,
     return _psnr_np(gt_raw, pred_raw), masked, gt_raw, pred_raw
 
 
+def read_neural_coordinates(filename) -> list:
+    """Load (x, y, z) neuron coordinates from the per-fish CSV, keeping rows
+    with is_gt == 1 (reference read_neural_coordinates_from_file,
+    CWFA.py:223-238)."""
+    import csv
+    coords = []
+    files = [filename] if isinstance(filename, str) else list(filename)
+    for fn in files:
+        with open(fn) as f:
+            for row in csv.DictReader(f):
+                try:
+                    if int(float(row.get("is_gt", 0))) == 1:
+                        coords.append([float(row["coord_x"]),
+                                       float(row["coord_y"]),
+                                       float(row["coord_z"])])
+                except (KeyError, ValueError):
+                    continue
+    return coords
+
+
 def filter_trace(data, kernel_size: int = 10):
     """Moving-average filter (reference filter_data, utils.py:419-427)."""
     if kernel_size == 0:

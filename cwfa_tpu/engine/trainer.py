@@ -431,11 +431,16 @@ class CWFATrainer:
     # ---------------------------------------------------------------- fit
     def fit(self, train_ds: ConcatXLFMDataset, val_ds=None, test_ds=None,
             eval_every: int | None = None, start_epoch: int = 0,
-            end_epoch: int | None = None, verbose: bool = False):
-        """The coarse-to-fine training driver (run_CWFA main loop)."""
+            end_epoch: int | None = None, verbose: bool = False,
+            neural_coords: dict | None = None):
+        """The coarse-to-fine training driver (run_CWFA main loop).
+
+        neural_coords: optional {'train'|'val'|'test': [per-fish coord
+        lists]} for the correlation metric (CWFA.py:684-685)."""
         cfg = self.cfg
         eval_every = eval_every or cfg.eval_every
         end_epoch = cfg.epochs if end_epoch is None else end_epoch
+        nc = neural_coords or {}
         results = {}
         for epoch in range(start_epoch, end_epoch):
             loss = self.train_epoch(train_ds, epoch)
@@ -443,11 +448,17 @@ class CWFATrainer:
                 print(f"epoch {epoch + 1}/{end_epoch} "
                       f"stage={self.stage_for_epoch(epoch)} loss={loss:.5f}")
             if (epoch + 1) % eval_every == 0 or epoch + 1 == end_epoch:
-                results["train"] = self.evaluate(train_ds, "train")
+                results["train"] = self.evaluate(
+                    train_ds, "train", neural_coords=nc.get("train"),
+                    epoch=epoch)
                 if val_ds is not None:
-                    results["val"] = self.evaluate(val_ds, "val")
+                    results["val"] = self.evaluate(
+                        val_ds, "val", neural_coords=nc.get("val"),
+                        epoch=epoch)
                 if test_ds is not None:
-                    results["test"] = self.evaluate(test_ds, "test")
+                    results["test"] = self.evaluate(
+                        test_ds, "test", neural_coords=nc.get("test"),
+                        epoch=epoch)
                 if self.output_path:
                     self.save_checkpoints(epoch)
         return results
