@@ -147,11 +147,18 @@ class CWFATrainer:
 
         @jax.jit
         def pyramid_fn(params, vol_raw, key):
-            """normalize + 1e-3 noise + forward pyramid (CWFA.py:808-823)."""
+            """normalize + empty-depth guard + 1e-3 noise + forward pyramid
+            (CWFA.py:84-96,808-823). Inf/NaN step losses are replaced by the
+            reference's 1e15 sentinel (CWFA.py:825-828)."""
+            from cwfa_tpu.models.cwfa_model import check_empty_depths
+            k1, k2 = jax.random.split(key)
             v = (vol_raw - mean_v) / std_v
-            v = v + 0.001 * jax.random.normal(key, v.shape, v.dtype)
+            v = check_empty_depths(k1, v)
+            v = v + 0.001 * jax.random.normal(k2, v.shape, v.dtype)
             nlls, cache, priors, ljs = model.forward_pyramid(params, v)
-            return jnp.stack(nlls), cache, jnp.stack(priors), jnp.stack(ljs)
+            sent = lambda u: jnp.nan_to_num(jnp.stack(u), nan=1e15,
+                                            posinf=1e15, neginf=1e15)
+            return sent(nlls), cache, sent(priors), jnp.stack(ljs)
         self._pyramid = pyramid_fn
 
         def lrnn_step(params, mstate, opt_state, views_n, mean_c, gt_coarse,

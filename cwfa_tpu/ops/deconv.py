@@ -100,3 +100,63 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
     d_idx = jnp.arange(n_depths)[None, :, None, None]
     obj = jnp.where((d_idx >= lo) & (d_idx < hi), obj, 0.0)
     return obj, img_est
+
+
+def xlfm_deconvolve_sharded(mesh, otf, img, n_iter: int, obj_hw=(512, 512),
+                            roi_depths: int = 90,
+                            update_median_limit_multiplier: float = 10.0):
+    """Depth-sharded RL deconvolution over a device mesh (SURVEY.md §5.7):
+    each depth's 2-D FFTs are independent and run shard-locally; the only
+    cross-depth operation — the image-estimate sum — is one ``lax.psum``
+    over the mesh axis.  Expressed with shard_map so the collective is
+    explicit. Numerically identical to ``xlfm_deconvolve``."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    axis = "space" if "space" in mesh.axis_names else mesh.axis_names[-1]
+    n_shards = mesh.shape[axis]
+    n_depths = otf.shape[1]
+    assert n_depths % n_shards == 0, (n_depths, n_shards)
+    d_local = n_depths // n_shards
+    full_hw = (otf.shape[2], (otf.shape[3] - 1) * 2)
+    pad_h = (full_hw[0] - obj_hw[0]) // 2
+    pad_w = (full_hw[1] - obj_hw[1]) // 2
+    mult = update_median_limit_multiplier
+
+    def local_run(otf_l, img_g):
+        otf_t = jnp.conj(otf_l)
+        img_exp = _pad_center(img_g.astype(jnp.float32), full_hw)
+        obj = jnp.ones((img_g.shape[0], d_local) + tuple(obj_hw), jnp.float32)
+
+        def body(_, state):
+            obj, _prev = state
+            obj_pad = _pad_center(obj, full_hw)
+            est_local = jax.nn.relu(fftshift2d_real(jnp.fft.irfft2(
+                jnp.fft.rfft2(obj_pad) * otf_l, s=full_hw))).sum(
+                    1, keepdims=True)
+            img_est = jax.lax.psum(est_local, axis)
+            ratio = img_exp / (img_est + 1e-8)
+            limit = _median_nonzero(ratio) * mult
+            ratio = jnp.clip(ratio, 0.0, limit)
+            corr = fftshift2d_real(jnp.fft.irfft2(
+                jnp.fft.rfft2(ratio) * otf_t, s=full_hw))
+            new_obj = (obj_pad * corr)[:, :, pad_h:pad_h + obj_hw[0],
+                                       pad_w:pad_w + obj_hw[1]]
+            bad = jnp.any(jnp.isnan(ratio))
+            return jnp.where(bad, obj, new_obj), img_est
+
+        obj, img_est = jax.lax.fori_loop(
+            0, n_iter, body, (obj, jnp.zeros_like(img_exp)))
+        # global-depth ROI mask for this shard
+        shard_ix = jax.lax.axis_index(axis)
+        lo = n_depths // 2 - roi_depths // 2
+        hi = n_depths // 2 + roi_depths // 2
+        d_idx = shard_ix * d_local + jnp.arange(d_local)[None, :, None, None]
+        obj = jnp.where((d_idx >= lo) & (d_idx < hi), obj, 0.0)
+        return obj, img_est
+
+    run = shard_map(local_run, mesh=mesh,
+                    in_specs=(P(None, axis, None, None), P()),
+                    out_specs=(P(None, axis, None, None), P()),
+                    check_rep=False)
+    return jax.jit(run)(otf, img)

@@ -92,3 +92,26 @@ def test_dp_flow_train_step(tiny):
     for a, b in zip(jax.tree_util.tree_leaves(got_p),
                     jax.tree_util.tree_leaves(ref_p)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_depth_sharded_deconvolution():
+    """RL deconvolution with the depth axis sharded over the mesh matches the
+    single-device result (the depth sum becomes an XLA collective)."""
+    import jax.numpy as jnp
+    from cwfa_tpu.ops.fft_conv import precompute_otf, xlfm_forward_project
+    from cwfa_tpu.ops.deconv import xlfm_deconvolve, xlfm_deconvolve_sharded
+
+    d, s, p = 8, 16, 32
+    rng = np.random.RandomState(3)
+    psf = np.abs(rng.rand(1, d, p, p)).astype(np.float32)
+    psf /= psf.sum(axis=(-2, -1), keepdims=True)
+    otf, full_hw = precompute_otf(jnp.asarray(psf), (s, s))
+    vol = jnp.asarray(np.abs(rng.rand(1, d, s, s)).astype(np.float32))
+    img = xlfm_forward_project(vol, otf, full_hw, psf_hw=(p, p))
+
+    ref, _ = xlfm_deconvolve(otf, img, n_iter=3, obj_hw=(s, s), roi_depths=d)
+    mesh = make_mesh(n_data=1, n_space=8)
+    got, _ = xlfm_deconvolve_sharded(mesh, otf, img, n_iter=3, obj_hw=(s, s),
+                                     roi_depths=d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
