@@ -117,6 +117,58 @@ def cond_network(params, x, *, train: bool = False, rng=None,
     return _conv3d_pair_direct(params, out, act, drop, rng)
 
 
+def _block_diag_w(ws):
+    """Block-diagonal OIHW kernel from a list of kernels."""
+    o_tot = sum(w.shape[0] for w in ws)
+    i_tot = sum(w.shape[1] for w in ws)
+    kh, kw = ws[0].shape[2:]
+    out = jnp.zeros((o_tot, i_tot, kh, kw), ws[0].dtype)
+    o0 = i0 = 0
+    for w in ws:
+        out = out.at[o0:o0 + w.shape[0], i0:i0 + w.shape[1]].set(w)
+        o0 += w.shape[0]
+        i0 += w.shape[1]
+    return out
+
+
+def cond_networks_batched(params_list, x):
+    """Run ALL per-step condition networks on the same views in one set of
+    wide convolutions (inference path).
+
+    The four cond nets take identical input; their 2-D convs have tiny
+    output-channel counts (48/24/12/6) that waste most of an MXU tile run
+    separately. Stacking conv1/down on the shared input and block-diagonalizing
+    conv2 yields full tiles with identical numerics (validated in
+    tests/test_cond_net.py). The per-step PReLU and banded 3-D convs stay
+    separate (different alphas / depths).
+
+    Returns [out_k for each params in params_list].
+    """
+    c_outs = [p["conv1"]["w"].shape[0] for p in params_list]
+    w1 = jnp.concatenate([p["conv1"]["w"] for p in params_list], 0)
+    b1 = jnp.concatenate([p["conv1"]["b"] for p in params_list], 0)
+    wd = jnp.concatenate([p["down"]["w"] for p in params_list], 0)
+    bd = jnp.concatenate([p["down"]["b"] for p in params_list], 0)
+    w2 = _block_diag_w([p["conv2"]["w"] for p in params_list])
+    b2 = jnp.concatenate([p["conv2"]["b"] for p in params_list], 0)
+
+    y1 = cnn.conv2d({"w": w1, "b": b1}, x)
+    # per-net PReLU on the stacked channels
+    segs = np.cumsum([0] + c_outs)
+    y1 = jnp.concatenate(
+        [cnn.prelu(p["prelu"], y1[:, segs[i]:segs[i + 1]])
+         for i, p in enumerate(params_list)], axis=1)
+    y2 = cnn.conv2d({"w": w2, "b": b2}, y1)
+    res = cnn.conv2d({"w": wd, "b": bd}, x)
+    outs = []
+    for i, p in enumerate(params_list):
+        seg = slice(segs[i], segs[i + 1])
+        act = lambda u, pp=p: cnn.prelu(pp["prelu"], u)
+        o = act(y2[:, seg] + res[:, seg])
+        outs.append(_conv3d_pair_banded(p, o, act, 0.0, None))
+    return outs
+
+
 def init_global_attention(key, n_chans: int):
     """Conv1d(C,C,3) -> ReLU -> Conv1d(C,C,1) -> Sigmoid gate over flattened
     spatial dim (reference networks.py:244-262)."""

@@ -168,10 +168,19 @@ class CWFAModel:
                               train=lrnn_train, rng=nxt())
         pyramid = {nf: up}
         b = cond_input.shape[0]
+        c_views_all = None
+        if not train:
+            # all cond nets share the input views: run them as one set of
+            # wide convs (models/cond_net.cond_networks_batched)
+            from cwfa_tpu.models.cond_net import cond_networks_batched
+            c_views_all = cond_networks_batched(params["cond"], cond_input)
         for k in range(nf - 1, -1, -1):
             spec = self.step_specs[k]
-            c_views = self.run_cond_net(params, k, cond_input,
-                                        train=train, rng=nxt())
+            if c_views_all is not None:
+                c_views = c_views_all[k]
+            else:
+                c_views = self.run_cond_net(params, k, cond_input,
+                                            train=train, rng=nxt())
             c_mean = mean_caches[k]
             zshape = (b * n_samples, spec.c_flow, spec.spatial, spec.spatial)
             if z_temperature == 0:

@@ -55,3 +55,20 @@ def test_grad_flows_through_banded():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_batched_cond_nets_match_separate():
+    from cwfa_tpu.models.cond_net import cond_networks_batched
+    import jax
+    import jax.numpy as jnp
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    plist = [init_cond_network(keys[0], 5, 8, chans_3d=4),
+             init_cond_network(keys[1], 5, 4, chans_3d=4),
+             init_cond_network(keys[2], 5, 2, chans_3d=4)]
+    x = jnp.asarray(np.random.RandomState(4)
+                    .randn(2, 5, 8, 8).astype(np.float32))
+    batched = cond_networks_batched(plist, x)
+    for p, got in zip(plist, batched):
+        want = cond_network(p, x, conv3d_impl="banded")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=1e-4)
