@@ -483,6 +483,53 @@ class CWFATrainer:
                              else self.params["cond"][step]),
                 train_statistics=self.stats)
 
+    def load_torch_checkpoints(self, path: str, steps=None):
+        """Load trained REFERENCE (PyTorch) checkpoints: discovers the
+        highest-epoch ``model_step_*__ep_*`` files (CWFA.py:425-469), converts
+        state dicts via engine.torch_convert, and patches the flow specs with
+        the checkpoint permutation buffers."""
+        from cwfa_tpu.engine.checkpoints import discover_checkpoints
+        from cwfa_tpu.engine import torch_convert as tc
+
+        nf = self.model.n_flow_steps
+        found = discover_checkpoints(path, prefix="model_step_*__ep_*")
+        # exclude our own msgpack files
+        found = {s: (e, f) for s, (e, f) in found.items()
+                 if not f.endswith(".msgpack")}
+        loaded = []
+        new_specs = list(self.model.step_specs)
+        for step, (ep, fname) in sorted(found.items()):
+            if steps is not None and step not in steps:
+                continue
+            payload = tc.load_torch_state_dict(fname)
+            ix = step - 1
+            if ix < nf and payload["INN_state_dict"]:
+                fparams, perms = tc.convert_graph_inn(
+                    payload["INN_state_dict"],
+                    n_blocks=self.cfg.INN_n_blocks,
+                    use_final_perm=self.cfg.INN_use_perm == 1)
+                flow = list(self.params["flow"])
+                flow[ix] = fparams
+                self.params = {**self.params, "flow": flow}
+                new_specs[ix] = tc.apply_perm_overrides(new_specs[ix], perms)
+            if payload["condition_state_dict"]:
+                if ix >= nf:
+                    lp, ls = tc.convert_lrnn(payload["condition_state_dict"])
+                    self.params = {**self.params, "lrnn": lp}
+                    self.mstate = {"lrnn": ls}
+                else:
+                    cond = list(self.params["cond"])
+                    cond[ix] = tc.convert_cond_network(
+                        payload["condition_state_dict"])
+                    self.params = {**self.params, "cond": cond}
+            loaded.append(step)
+        if any(ns is not os_ for ns, os_ in zip(new_specs,
+                                                self.model.step_specs)):
+            import dataclasses as dc
+            self.model = dc.replace(self.model, step_specs=tuple(new_specs))
+            self._build_jitted()
+        return loaded
+
     def load_checkpoints(self, path: str, steps=None):
         """Load the highest-epoch checkpoint per step (CWFA.py:424-526)."""
         from cwfa_tpu.engine.checkpoints import (discover_checkpoints,

@@ -227,3 +227,48 @@ def test_multistep_permutation_walk(ref_modules):
             if ref[0] == "spatial":
                 assert mine[1] == ref[1], "PermuteDim axis diverged"
             np.testing.assert_array_equal(mine[-2], ref[-1])
+
+
+def test_load_torch_checkpoints_into_trainer(ref_modules, tmp_path):
+    """End-to-end: a reference-format torch checkpoint file loads into the
+    trainer (discovery + conversion + spec patching) and reproduces the
+    reference graph's forward output."""
+    import jax.numpy as jnp
+    from cwfa_tpu.config import CWFAConfig
+    from cwfa_tpu.data.stats import DatasetStatistics
+    from cwfa_tpu.data.views import make_view_indices
+    from cwfa_tpu.engine.trainer import CWFATrainer
+    from cwfa_tpu.models.cwfa_model import CWFAModel
+    from cwfa_tpu.models.cwf import cwf_step_forward
+
+    cond_net, graph = _build_reference_step(ref_modules)
+    ckpt = {"epoch": 5, "args": None,
+            "INN_state_dict": graph.state_dict(),
+            "condition_state_dict": cond_net.state_dict(),
+            "optimizer_state_dict": None, "training_statistics": []}
+    torch.save(ckpt, str(tmp_path / "model_step_1__ep_5"))
+
+    cfg = CWFAConfig(n_depths=D, volume_side_size=S, n_lenslets=4,
+                     INN_max_down_steps=2, INN_n_blocks=NB,
+                     INN_internal_chans=ICH, INN_cond_chans=4).decode_lrs()
+    model = CWFAModel.build(cfg)
+    stats = DatasetStatistics(0, 1, 0, 1, 0, 1)
+    coords = np.array([[40, 40], [40, 80], [80, 40], [80, 80]])
+    vidx = make_view_indices(coords, (128, 128), (S, S))
+    trainer = CWFATrainer(model, stats, vidx)
+    loaded = trainer.load_torch_checkpoints(str(tmp_path), steps=[1])
+    assert loaded == [1]
+
+    rng = np.random.RandomState(4)
+    vol = rng.randn(1, D, S, S).astype(np.float32)
+    cv = rng.randn(1, D // 2, S, S).astype(np.float32)
+    cm = rng.randn(1, D // 2, S, S).astype(np.float32)
+    with torch.no_grad():
+        (z_ref, _), _ = graph(torch.from_numpy(vol),
+                              c=[torch.from_numpy(cv), torch.from_numpy(cm)])
+    z, _, _ = cwf_step_forward(trainer.model.step_specs[0],
+                               trainer.params["flow"][0],
+                               jnp.asarray(vol), jnp.asarray(cv),
+                               jnp.asarray(cm))
+    np.testing.assert_allclose(np.asarray(z), z_ref.numpy(), atol=2e-4,
+                               rtol=1e-4)
