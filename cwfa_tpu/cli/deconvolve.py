@@ -72,9 +72,32 @@ def main(argv=None):
 
     depth_chunk = (None if args.n_split_fourier == 1
                    else max(args.n_depths // args.n_split_fourier, 1))
+
+    def frames():
+        """Stream frames; the native prefetcher decodes frame n+1 on a
+        background thread while the TPU deconvolves frame n."""
+        try:
+            from cwfa_tpu.data.native_tiff import PrefetchingTiffReader
+            path = os.path.join(args.data_folder, "XLFM_image",
+                                "XLFM_image_stack.tif")
+            with PrefetchingTiffReader(path, pages=list(
+                    args.images_to_use)) as it:
+                for page_ix, frame in it:
+                    from cwfa_tpu.data.dataset import (_pad_to_square_img,
+                                                       _center_crop_img)
+                    im = _center_crop_img(
+                        _pad_to_square_img(frame.astype(np.float32)),
+                        (args.img_size, args.img_size))
+                    yield page_ix, im
+            return
+        except Exception:
+            pass
+        for pos, img_ix in enumerate(args.images_to_use[: len(ds)]):
+            yield img_ix, ds.stacked_views[pos]
+
     last_vol = None
-    for pos, img_ix in enumerate(args.images_to_use[: len(ds)]):
-        views = ds.stacked_views[pos][None, None] - background
+    for img_ix, frame in frames():
+        views = frame[None, None] - background
         vol, _ = xlfm_deconvolve(
             otf, jnp.asarray(views), n_iter=args.n_it,
             obj_hw=(args.vol_xy_size, args.vol_xy_size),

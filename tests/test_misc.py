@@ -90,3 +90,47 @@ def test_plot_distributions():
     fig = plot_distributions(np.random.randn(100), np.random.randn(100) + 1)
     arr = figure_to_array(fig)
     assert arr.ndim == 3 and arr.shape[2] == 3
+
+
+def test_tb_writer_record_framing(tmp_path):
+    """TFRecord framing + masked CRC32C of the event-file writer."""
+    import glob
+    import struct
+    from cwfa_tpu.utils.tb_writer import SummaryWriter, _masked_crc
+    w = SummaryWriter(str(tmp_path))
+    w.add_scalar("a/b", 1.5, 1)
+    w.add_text("t", "hello", 0)
+    w.add_image("img", np.random.rand(8, 8), 2)
+    w.close()
+    data = open(glob.glob(str(tmp_path / "events.*"))[0], "rb").read()
+    off = n = 0
+    while off < len(data):
+        (ln,) = struct.unpack("<Q", data[off:off + 8])
+        (hc,) = struct.unpack("<I", data[off + 8:off + 12])
+        assert hc == _masked_crc(data[off:off + 8])
+        rec = data[off + 12:off + 12 + ln]
+        (dc,) = struct.unpack("<I", data[off + 12 + ln:off + 16 + ln])
+        assert dc == _masked_crc(rec)
+        off += 16 + ln
+        n += 1
+    assert n == 4  # file_version + 3 events
+
+
+def test_native_tiff_roundtrip_and_prefetch(tmp_path):
+    from cwfa_tpu.data.native_tiff import (native_available,
+                                           write_tiff_stack_native,
+                                           read_tiff_stack_native,
+                                           PrefetchingTiffReader)
+    if not native_available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    arr = (np.random.rand(4, 24, 16) * 1000).astype(np.float32)
+    p = str(tmp_path / "n.tif")
+    assert write_tiff_stack_native(p, arr)
+    back = read_tiff_stack_native(p)
+    np.testing.assert_allclose(back, arr, atol=1e-6)
+    with PrefetchingTiffReader(p, pages=[0, 2, 3]) as it:
+        got = {ix: f.sum() for ix, f in it}
+    assert sorted(got) == [0, 2, 3]
+    for ix in got:
+        np.testing.assert_allclose(got[ix], arr[ix].sum(), rtol=1e-5)
