@@ -17,7 +17,6 @@ from datetime import datetime
 
 import numpy as np
 
-from cwfa_tpu.config import DeconvConfig
 from cwfa_tpu.data.dataset import XLFMDataset
 from cwfa_tpu.data.psf import load_psf_otf
 from cwfa_tpu.data.tiff import read_tiff_stack, write_tiff_stack

@@ -14,12 +14,9 @@ Usage:
 
 from __future__ import annotations
 
-import argparse
 import dataclasses
 import json
 import os
-
-import numpy as np
 
 from cwfa_tpu.cli.train import build_parser, cross_validation_groups
 from cwfa_tpu.config import CWFAConfig

@@ -18,7 +18,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import glob
-import json
 import os
 from datetime import datetime
 

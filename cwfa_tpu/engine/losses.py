@@ -7,7 +7,6 @@ except weighted_mse_loss (SURVEY.md D10)."""
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

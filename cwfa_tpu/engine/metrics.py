@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from cwfa_tpu.engine.losses import psnr as psnr_jnp
-
 
 def _psnr_np(a, b, pixel_max=1.0):
     mse = float(np.mean((a - b) ** 2))

@@ -8,7 +8,6 @@ the working equivalent here."""
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from cwfa_tpu.engine import losses as L

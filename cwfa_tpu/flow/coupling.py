@@ -28,8 +28,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cwfa_tpu import nn as cnn
-
 
 def clamp_fn(name: str) -> Callable[[jax.Array], jax.Array]:
     if name == "ATAN":

@@ -18,7 +18,7 @@ library surface find them here — same pure-function convention
 from __future__ import annotations
 
 import math
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -37,9 +37,6 @@ Condition wiring (verified against the reference graph construction):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Sequence
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

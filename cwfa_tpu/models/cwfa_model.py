@@ -17,8 +17,6 @@ evaluate_INN_forward (CWFA.py:134-196), reverse reconstruction loop
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 

@@ -22,7 +22,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax
-import jax.numpy as jnp
 
 from cwfa_tpu import nn as cnn
 from cwfa_tpu.models.cond_net import init_global_attention, global_attention
