@@ -52,8 +52,10 @@ def main():
 
     compute_dtype = jnp.bfloat16 if cfg.use_half_precision else jnp.float32
 
+    import gc
     best_fps = 0.0
     for batch in (8, 4, 2, 1):
+        gc.collect()
         try:
             recon = XLFMReconstructor(
                 model, params, mstate, stats, vidx, mean_caches,
