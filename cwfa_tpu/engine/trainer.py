@@ -392,17 +392,34 @@ class CWFATrainer:
             n_ds = len(dataset.datasets)
             per_ds = len(dataset) // max(n_ds, 1)
             ccs = []
+            all_records = []
             for di in range(n_ds):
                 sl = slice(di * per_ds, (di + 1) * per_ds)
                 gt_stack = np.stack(res["volumes_gt"][sl])
                 pr_stack = np.stack(res["volumes_pred"][sl])
                 coords = neural_coords[di] if di < len(neural_coords) else []
                 if len(coords) and gt_stack.shape[0] > 1:
-                    cc, _ = corr_coeff_3d(
+                    cc, records = corr_coeff_3d(
                         gt_stack, pr_stack, coords,
                         filter_width=int(self.cfg.neural_activation_filter_width))
                     ccs.append(float(np.mean(cc)) if len(cc) else 0.0)
+                    ds_id = dataset.datasets[di].dataset_id
+                    for r in records:
+                        r["sample_id"] = ds_id
+                    all_records.extend(records)
             res["CC"] = float(np.mean(ccs)) if ccs else 0.0
+            # per-run trace CSV (reference Neural_activity_{tag}.csv,
+            # CWFA.py:1272-1273)
+            if self.output_path and all_records:
+                import csv as _csv
+                keys = sorted({k for r in all_records for k in r},
+                              key=lambda k: (k.startswith("t"), k))
+                with open(os.path.join(self.output_path,
+                                       f"Neural_activity_{tag}.csv"),
+                          "w", newline="") as f:
+                    wr = _csv.DictWriter(f, fieldnames=keys)
+                    wr.writeheader()
+                    wr.writerows(all_records)
 
         # logging parity (CWFA.py:1119-1142, 1210-1211)
         step = epoch if epoch is not None else 0
