@@ -54,7 +54,9 @@ def main():
 
     import gc
     best_fps = 0.0
-    for batch in (8, 4, 2, 1):
+    # batch 4 first: historically the sweet spot; batch 8 compiles
+    # intermittently hit the HBM ceiling on this chip
+    for batch in (4, 8, 1):
         gc.collect()
         try:
             recon = XLFMReconstructor(
@@ -71,7 +73,7 @@ def main():
             print(f"# batch={batch} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
             continue
-        if batch == 8 and best_fps > 0:
+        if best_fps > 0 and batch >= 8:
             break
     print(json.dumps({
         "metric": "recon_fps_512x512x96",

@@ -65,6 +65,12 @@ def cross_validation_groups(main_data_path: str, use_sparse: bool):
     for nn in range(len(datasets)):
         train = [d for i, d in enumerate(datasets) if i != nn]
         groups[nn] = {"train": train, "val": train, "test": [datasets[nn]]}
+    # single-fish groups at indices >= 30 (reference main.py:154-159)
+    for fish_ix, fish in enumerate(datasets):
+        if groups.get(fish_ix, {}).get("train"):
+            other = groups[fish_ix]["train"][0]
+            groups[30 + fish_ix] = {"train": [fish], "val": [fish],
+                                    "test": [other]}
     return groups, paths
 
 

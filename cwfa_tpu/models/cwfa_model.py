@@ -38,6 +38,22 @@ def sample_z_truncated(key, shape, temperature: float, dtype=jnp.float32):
         key, -temperature, temperature, shape, dtype)
 
 
+def sample_z_rev_like(key, x, temperature: float = 0.0,
+                      same_size: bool = False):
+    """Reverse-direction z sampling helper (reference CWFA.py:66-82):
+    zeros at temperature 0, else gaussian scaled by temperature; shape is
+    x's shape (same_size) or the (B, 3*W, H, W) layout variant."""
+    if isinstance(x, (tuple, list)):
+        shape = tuple(x)
+    elif same_size:
+        shape = x.shape
+    else:
+        shape = (x.shape[0], 3 * x.shape[-1], x.shape[2], x.shape[3])
+    if temperature == 0:
+        return jnp.zeros(shape, jnp.float32)
+    return jax.random.normal(key, shape) * temperature
+
+
 def check_empty_depths(key, vol):
     """Add sigma=1e-3 noise to all-constant depth slices (CWFA.py:84-96),
     protecting ActNorm/std==0 paths."""
