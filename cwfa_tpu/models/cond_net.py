@@ -72,22 +72,36 @@ def _conv3d_pair_banded(params, out, act, drop_rate, rng):
     k = wa.shape[0]
     band = jnp.asarray(_depth_band(d))
     # kernel dims of the NCDHW conv act on (H, W, C): wa[o, 0, kh, kw, dc]
-    w2a = jnp.einsum("oxyd,cCd->ocCxy", wa[:, 0], band)
-    w2a = w2a.reshape(k * d, d, 3, 3)                     # (o,c)-major out
-    y = cnn.conv2d({"w": w2a}, out)
-    if ba is not None:
-        y = y + jnp.repeat(ba, d).astype(y.dtype)[None, :, None, None]
-    y = act(y)
+    w2a = jnp.einsum("oxyd,cCd->ocCxy", wa[:, 0], band)   # (K, D, D, 3, 3)
+    w2b = jnp.einsum("oxyd,cCd->coCxy", wb[0], band)      # (D, K, D, 3, 3)
+
+    # chunk the K feature groups: the (B, K*D, H, W) intermediate is ~3 GB at
+    # batch 4 / D=48; partial sums over o-chunks are exact (conv_b is linear
+    # in its inputs) and bound the live intermediate
+    b_sz = out.shape[0]
+    hw = out.shape[2] * out.shape[3]
+    budget = 400 * 1024 * 1024 // max(out.dtype.itemsize, 2)
+    chunk = max(min(k, budget // max(b_sz * d * hw, 1)), 1)
+    mask = None
     if drop_rate and rng is not None:
-        # Dropout3d drops whole (b, o) feature volumes; channel layout is
-        # (o, c) o-major, so drop per o and broadcast over c
+        # Dropout3d drops whole (b, o) feature volumes
         keep = 1.0 - drop_rate
-        mask = jax.random.bernoulli(rng, keep, (y.shape[0], k))
-        y = jnp.where(jnp.repeat(mask, d, axis=1)[:, :, None, None],
-                      y / keep, 0.0).astype(y.dtype)
-    w2b = jnp.einsum("oxyd,cCd->coCxy", wb[0], band)
-    w2b = w2b.reshape(d, k * d, 3, 3)
-    z = cnn.conv2d({"w": w2b}, y)
+        mask = jax.random.bernoulli(rng, keep, (b_sz, k))
+    z = None
+    for o0 in range(0, k, chunk):
+        o1 = min(o0 + chunk, k)
+        wa_c = w2a[o0:o1].reshape((o1 - o0) * d, d, 3, 3)
+        y = cnn.conv2d({"w": wa_c}, out)
+        if ba is not None:
+            y = y + jnp.repeat(ba[o0:o1], d).astype(y.dtype)[None, :, None,
+                                                             None]
+        y = act(y)
+        if mask is not None:
+            m = jnp.repeat(mask[:, o0:o1], d, axis=1)[:, :, None, None]
+            y = jnp.where(m, y / (1.0 - drop_rate), 0.0).astype(y.dtype)
+        wb_c = w2b[:, o0:o1].reshape(d, (o1 - o0) * d, 3, 3)
+        zc = cnn.conv2d({"w": wb_c}, y)
+        z = zc if z is None else z + zc
     if bb is not None:
         z = z + bb.astype(z.dtype)[None, :, None, None]
     return z
