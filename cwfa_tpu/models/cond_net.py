@@ -80,7 +80,7 @@ def _conv3d_pair_banded(params, out, act, drop_rate, rng):
     # in its inputs) and bound the live intermediate
     b_sz = out.shape[0]
     hw = out.shape[2] * out.shape[3]
-    budget = 400 * 1024 * 1024 // max(out.dtype.itemsize, 2)
+    budget = 900 * 1024 * 1024 // max(out.dtype.itemsize, 2)
     chunk = max(min(k, budget // max(b_sz * d * hw, 1)), 1)
     mask = None
     if drop_rate and rng is not None:
