@@ -79,4 +79,11 @@ def extract_views(image: jax.Array, indices: dict) -> jax.Array:
                         (vh - (r_hi - r_lo), 0),
                         (vw - (c_hi - c_lo), 0)))
         views.append(v)
-    return jnp.stack(views, axis=1)
+    # Build (B, n, vh, vw) WITHOUT a per-lenslet stack: stacking (B, vh, vw)
+    # slices on a new size-1 axis made XLA materialize ~20 separate
+    # f32[B,1,vh,vw] temps laid out {1,0,3,2:T(8,128)} — the size-1 axis
+    # padded 128x (1 GB each at B=8; see BENCH_r01). Concatenating along the
+    # row axis keeps every operand free of size-1 dims and the final reshape
+    # (B, n*vh, vw) -> (B, n, vh, vw) is a layout-preserving bitcast.
+    b = image.shape[0]
+    return jnp.concatenate(views, axis=1).reshape(b, len(views), vh, vw)

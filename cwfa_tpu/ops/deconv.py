@@ -111,7 +111,7 @@ def xlfm_deconvolve_sharded(mesh, otf, img, n_iter: int, obj_hw=(512, 512),
     over the mesh axis.  Expressed with shard_map so the collective is
     explicit. Numerically identical to ``xlfm_deconvolve``."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     axis = "space" if "space" in mesh.axis_names else mesh.axis_names[-1]
     n_shards = mesh.shape[axis]
@@ -158,5 +158,5 @@ def xlfm_deconvolve_sharded(mesh, otf, img, n_iter: int, obj_hw=(512, 512),
     run = shard_map(local_run, mesh=mesh,
                     in_specs=(P(None, axis, None, None), P()),
                     out_specs=(P(None, axis, None, None), P()),
-                    check_rep=False)
+                    check_vma=False)
     return jax.jit(run)(otf, img)
