@@ -54,7 +54,10 @@ def make_optimizers(model: CWFAModel):
     cfg = model.cfg
     tx_flow = optax.lion(cfg.learning_rate, b1=0.9, b2=0.99,
                          weight_decay=cfg.learning_weight_decay)
-    tx_cond = optax.lion(cfg.learning_rate_cond, b1=0.9, b2=0.99)
+    # NOTE: optax.lion defaults weight_decay=1e-3; the reference's
+    # lion_pytorch default is 0 and the cond group passes none.
+    tx_cond = optax.lion(cfg.learning_rate_cond, b1=0.9, b2=0.99,
+                         weight_decay=0.0)
     tx_lrnn = optax.lion(cfg.learning_rate_first_step, b1=0.9, b2=0.99,
                          weight_decay=cfg.learning_weight_decay)
     return tx_flow, tx_cond, tx_lrnn
@@ -191,8 +194,15 @@ class CWFATrainer:
                           gt_k, upsampled_in, key):
                 def loss_fn(args):
                     fk, ck = args
-                    c_views = cnn_cond(ck, views_n, key)
                     b = gt_k.shape[0]
+                    if cfg.force_all_steps_NF:
+                        # zero views-condition (CWFA.py:892-894); the cond
+                        # net is unused and receives no updates.
+                        c_views = jnp.zeros(
+                            (b, spec.c_flow, spec.spatial, spec.spatial),
+                            gt_k.dtype)
+                    else:
+                        c_views = cnn_cond(ck, views_n, key)
                     z = jnp.zeros((b, spec.c_flow, spec.spatial, spec.spatial),
                                   gt_k.dtype)
                     recon, _ = cwf_step_reverse(spec, fk, z, upsampled_in,
@@ -310,7 +320,18 @@ class CWFATrainer:
                     self.upsampled_cache[ix] = np.asarray(out)
             else:
                 k = stage
-                upsampled = self._stage_input(ix, views_n, mean_caches, k)
+                # train_with_gt_low_res (CWFA.py:866-869): feed the GT
+                # pyramid level as the stage input during training — mode 1
+                # for every flow step, mode 2 only for the coarsest-but-one
+                # step (the reference's hard-coded add_gt_after=[3],
+                # CWFA.py:687, i.e. n_net == INN_max_down_steps-2).
+                gt_lowres = (cfg.train_with_gt_low_res == 1
+                             or (cfg.train_with_gt_low_res == 2
+                                 and k == cfg.INN_max_down_steps - 2))
+                if gt_lowres:
+                    upsampled = gt_cache[k + 1]
+                else:
+                    upsampled = self._stage_input(ix, views_n, mean_caches, k)
                 (fk, ck, of, oc, full, loss_c, nll, recon) = \
                     self._flow_steps[k](
                         self.params["flow"][k], self.params["cond"][k],

@@ -71,7 +71,14 @@ class CWFAModel:
     # ---------------------------------------------------------------- build
     @classmethod
     def build(cls, cfg: CWFAConfig) -> "CWFAModel":
-        n_flow = cfg.INN_max_down_steps - 1
+        # force_last_step_NF (reference CWFA.py:489-510,781,880): the coarsest
+        # pyramid level is produced by a flow step instead of the LRNN, so one
+        # extra CWF step is built and the reconstruction range extends through
+        # it. (The reference's own construction path for this flag is
+        # unrunnable — conv_inn_temp[ix] indexes a stale 4-long list at ix=4 —
+        # so this implements the documented intent; see docs/PARITY.md.)
+        n_flow = cfg.INN_max_down_steps - 1 + (1 if cfg.force_last_step_NF
+                                               else 0)
         specs = build_step_specs(
             n_depths=cfg.n_depths, spatial=cfg.volume_side_size,
             n_flow_steps=n_flow, n_blocks=cfg.INN_n_blocks,
@@ -80,8 +87,12 @@ class CWFAModel:
             use_final_perm=cfg.INN_use_perm == 1,
             disable_low_res_input=bool(cfg.disable_low_res_input),
             global_seed=cfg.seed)
+        # The LRNN always targets the 2^(max_down_steps-1) level (the
+        # reference keeps the Encoder as cond_nets[-1] even when the last
+        # step is forced to a flow, CWFA.py:493-495).
         lrnn_spec = LRNNSpec(
-            ch_in=cfg.n_lenslets, n_depths=cfg.n_depths // (2 ** n_flow),
+            ch_in=cfg.n_lenslets,
+            n_depths=cfg.n_depths // (2 ** (cfg.INN_max_down_steps - 1)),
             spatial=cfg.volume_side_size, use_bias=bool(cfg.INN_use_bias))
         return cls(cfg=cfg, step_specs=tuple(specs), lrnn_spec=lrnn_spec)
 
@@ -174,23 +185,41 @@ class CWFAModel:
         rngs = cnn.key_iter(rng) if rng is not None else None
         nxt = (lambda: next(rngs)) if rngs is not None else (lambda: None)
         nf = self.n_flow_steps
-        # the reference keeps the LRNN in train mode even during evaluation
-        # ("important due to the dropout/batchnorm", CWFA.py:531-532)
-        if lrnn_train is None:
-            lrnn_train = train or rng is not None
-        up, _ = self.run_lrnn(params, state, cond_input, mean_caches[nf - 1],
-                              train=lrnn_train, rng=nxt())
-        pyramid = {nf: up}
         b = cond_input.shape[0]
+        force_all_nf = bool(self.cfg.force_all_steps_NF)
+        if self.cfg.force_last_step_NF:
+            # Last stage is a flow (CWFA.py:781 extends steps_to_reconstruct
+            # through the coarsest level): the chain starts from the prior
+            # mean of the coarsest averages instead of the LRNN output.
+            last = self.step_specs[nf - 1]
+            up = jnp.zeros((b, last.c_flow, last.spatial, last.spatial),
+                           cond_input.dtype)
+        else:
+            # the reference keeps the LRNN in train mode even during
+            # evaluation ("important due to the dropout/batchnorm",
+            # CWFA.py:531-532)
+            if lrnn_train is None:
+                lrnn_train = train or rng is not None
+            up, _ = self.run_lrnn(params, state, cond_input,
+                                  mean_caches[nf - 1],
+                                  train=lrnn_train, rng=nxt())
+        pyramid = {nf: up}
         c_views_all = None
-        if not train:
+        if not train and not force_all_nf:
             # all cond nets share the input views: run them as one set of
             # wide convs (models/cond_net.cond_networks_batched)
             from cwfa_tpu.models.cond_net import cond_networks_batched
             c_views_all = cond_networks_batched(params["cond"], cond_input)
         for k in range(nf - 1, -1, -1):
             spec = self.step_specs[k]
-            if c_views_all is not None:
+            if force_all_nf:
+                # force_all_steps_NF (CWFA.py:892-894): the processed-views
+                # condition is replaced by zeros — a pure NF conditioned only
+                # on the mean-volume cache.
+                c_views = jnp.zeros(
+                    (b, spec.c_flow, spec.spatial, spec.spatial),
+                    cond_input.dtype)
+            elif c_views_all is not None:
                 c_views = c_views_all[k]
             else:
                 c_views = self.run_cond_net(params, k, cond_input,
