@@ -264,6 +264,41 @@ class CWFATrainer:
                                                  key=self._next_key())
             self.mean_caches[di] = [jax.device_put(c) for c in caches]
 
+    def save_mean_caches(self, path: str | None = None):
+        """Persist the conditioning pyramids next to the checkpoints so
+        eval-from-checkpoint needs no training data (reference saves them
+        after training, main.py:366-377, one file per dataset)."""
+        from flax import serialization
+        path = path or self.output_path
+        if path is None:
+            return []
+        os.makedirs(path, exist_ok=True)
+        written = []
+        for di, caches in self.mean_caches.items():
+            payload = {str(i): np.asarray(c) for i, c in enumerate(caches)}
+            fname = os.path.join(path, f"mean_vols_cache_ds_{di}.msgpack")
+            with open(fname, "wb") as f:
+                f.write(serialization.msgpack_serialize(payload))
+            written.append(fname)
+        return written
+
+    def load_mean_caches(self, path: str):
+        """Reload caches by glob (reference CWFA.py:636-640)."""
+        import glob
+        import re
+        from flax import serialization
+        loaded = []
+        for fname in sorted(glob.glob(
+                os.path.join(path, "mean_vols_cache_ds_*.msgpack"))):
+            di = int(re.findall(r"ds_(\d+)", os.path.basename(fname))[0])
+            with open(fname, "rb") as f:
+                payload = serialization.msgpack_restore(f.read())
+            self.mean_caches[di] = [
+                jax.device_put(jnp.asarray(payload[str(i)]))
+                for i in range(len(payload))]
+            loaded.append(di)
+        return loaded
+
     def _sample_inputs(self, dataset: ConcatXLFMDataset, ix: int):
         di, li = dataset.locate(ix)
         ds = dataset.datasets[di]
@@ -407,17 +442,25 @@ class CWFATrainer:
         res["projections_predicted"] = [volume_2_projections(v[None])[0]
                                         for v in res["volumes_pred"][:10]]
 
-        # neural-activity correlation per fish (CWFA.py:1095-1117)
+        # neural-activity correlation per fish (CWFA.py:1095-1117): group
+        # frames by their REAL dataset of origin (the reference iterates
+        # per-dataset index lists; datasets may have unequal lengths).
         if neural_coords is not None and len(dataset) > 1:
             from cwfa_tpu.engine.metrics import corr_coeff_3d
             n_ds = len(dataset.datasets)
-            per_ds = len(dataset) // max(n_ds, 1)
+            ds_frames: list = [[] for _ in range(n_ds)]
+            for ix in range(len(dataset)):
+                di, _ = dataset.locate(ix)
+                ds_frames[di].append(ix)
             ccs = []
             all_records = []
             for di in range(n_ds):
-                sl = slice(di * per_ds, (di + 1) * per_ds)
-                gt_stack = np.stack(res["volumes_gt"][sl])
-                pr_stack = np.stack(res["volumes_pred"][sl])
+                if not ds_frames[di]:
+                    continue
+                gt_stack = np.stack([res["volumes_gt"][i]
+                                     for i in ds_frames[di]])
+                pr_stack = np.stack([res["volumes_pred"][i]
+                                     for i in ds_frames[di]])
                 coords = neural_coords[di] if di < len(neural_coords) else []
                 if len(coords) and gt_stack.shape[0] > 1:
                     cc, records = corr_coeff_3d(
@@ -520,6 +563,7 @@ class CWFATrainer:
                 cond_params=(self.params["lrnn"] if is_lrnn
                              else self.params["cond"][step]),
                 train_statistics=self.stats)
+        self.save_mean_caches()
 
     def load_torch_checkpoints(self, path: str, steps=None):
         """Load trained REFERENCE (PyTorch) checkpoints: discovers the
@@ -569,10 +613,12 @@ class CWFATrainer:
         return loaded
 
     def load_checkpoints(self, path: str, steps=None):
-        """Load the highest-epoch checkpoint per step (CWFA.py:424-526)."""
+        """Load the highest-epoch checkpoint per step (CWFA.py:424-526),
+        plus any persisted mean-volume caches found alongside."""
         from cwfa_tpu.engine.checkpoints import (discover_checkpoints,
                                                  load_step_checkpoint,
                                                  restore_like)
+        self.load_mean_caches(path)
         nf = self.model.n_flow_steps
         found = discover_checkpoints(path)
         loaded = []

@@ -1,0 +1,84 @@
+"""Mean-volume cache persistence (ref main.py:366-377, CWFA.py:636-640) and
+ragged per-fish evaluation slicing (ref CWFA.py:1095-1117)."""
+
+import numpy as np
+import jax
+import pytest
+
+from cwfa_tpu.config import CWFAConfig
+from cwfa_tpu.data import (ConcatXLFMDataset, load_xlfm_data,
+                           make_synthetic_dataset, make_view_indices)
+from cwfa_tpu.engine.trainer import CWFATrainer
+from cwfa_tpu.models.cwfa_model import CWFAModel
+
+N_DEPTHS, VOL_SIDE, IMG, NLENS, VIEW = 16, 32, 96, 4, 32
+
+
+@pytest.fixture(scope="module")
+def rig(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth_caches"))
+    info = make_synthetic_dataset(root, n_fish=2, n_frames=3,
+                                  n_depths=N_DEPTHS, vol_side=VOL_SIDE,
+                                  img_size=IMG, n_lenslets=NLENS,
+                                  view_size=VIEW)
+    # RAGGED: fish 0 contributes 3 frames, fish 1 only 2
+    dss = []
+    for fi, n in ((0, [0, 1, 2]), (1, [0, 1])):
+        fish = info["fish_dirs"][fi] + "/SLNet_preprocessed"
+        dss.append(load_xlfm_data(
+            fish, info["lenslet_file"],
+            vol_shape=(VOL_SIDE, VOL_SIDE, N_DEPTHS),
+            img_shape=(IMG, IMG), images_to_use=n,
+            n_depths_to_fill=N_DEPTHS, ds_id=f"fish_{fi}"))
+    cat = ConcatXLFMDataset(*dss)
+    cfg = CWFAConfig(
+        n_depths=N_DEPTHS, volume_side_size=VIEW, n_lenslets=NLENS,
+        INN_max_down_steps=3, INN_n_blocks=2, INN_internal_chans=8,
+        INN_cond_chans=4, epochs=3, eval_every=3,
+        save_tiff_volumes=0).decode_lrs()
+    model = CWFAModel.build(cfg)
+    vidx = make_view_indices(dss[0].lenslet_coords, (IMG, IMG), (VIEW, VIEW))
+    return {"cat": cat, "stats": cat.get_statistics(), "model": model,
+            "vidx": vidx, "cfg": cfg}
+
+
+def test_mean_cache_persistence_roundtrip(rig, tmp_path):
+    out = str(tmp_path / "run")
+    tr = CWFATrainer(rig["model"], rig["stats"], rig["vidx"], output_path=out)
+    tr.ensure_mean_caches(rig["cat"])
+    tr.save_checkpoints(epoch=0)          # also persists the mean caches
+
+    # fresh trainer: eval-from-checkpoint must reproduce the caches without
+    # touching training data
+    tr2 = CWFATrainer(rig["model"], rig["stats"], rig["vidx"])
+    assert tr2.mean_caches == {}
+    tr2.load_checkpoints(out)
+    assert sorted(tr2.mean_caches) == [0, 1]
+    for di in (0, 1):
+        for a, b in zip(tr.mean_caches[di], tr2.mean_caches[di]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # ensure_mean_caches must NOT recompute over the loaded entries
+    mv_calls = []
+    orig = rig["cat"].mean_volume
+    rig["cat"].mean_volume = lambda di: (mv_calls.append(di), orig(di))[1]
+    try:
+        tr2.ensure_mean_caches(rig["cat"])
+    finally:
+        rig["cat"].mean_volume = orig
+    assert mv_calls == []
+
+
+def test_ragged_per_fish_cc(rig):
+    """Datasets of UNEQUAL length: the per-fish CC grouping must follow the
+    real dataset boundaries (3 + 2 frames), not len//n_ds slices."""
+    tr = CWFATrainer(rig["model"], rig["stats"], rig["vidx"])
+    coords = [[(VIEW // 2, VIEW // 2, N_DEPTHS // 2)],
+              [(VIEW // 3, VIEW // 3, N_DEPTHS // 2)]]
+    res = tr.evaluate(rig["cat"], "val", neural_coords=coords)
+    assert res["CC"] is not None
+    assert len(res["volumes_gt"]) == 5
+    # the equal-frames assumption would have grouped 5//2=2 frames per fish
+    # and dropped the 5th frame; the locate()-based grouping uses 3 + 2.
+    di_of = [rig["cat"].locate(i)[0] for i in range(5)]
+    assert di_of == [0, 0, 0, 1, 1]
