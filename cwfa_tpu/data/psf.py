@@ -42,12 +42,20 @@ def load_psf(source, depths_to_use=-1, interleaved: bool = True) -> np.ndarray:
     """
     if isinstance(source, str):
         if source.endswith((".mat",)):
-            from scipy.io import loadmat
-            psf = np.transpose(loadmat(source)["PSF"], (2, 0, 1))
+            try:
+                from scipy.io import loadmat
+                psf = np.transpose(loadmat(source)["PSF"], (2, 0, 1))
+            except (NotImplementedError, ValueError):
+                # MATLAB v7.3 .mat files are HDF5 (reference utils.py:564-568
+                # falls back the same way)
+                import h5py
+                with h5py.File(source, "r") as f:
+                    psf = np.asarray(f["PSF"][:], np.float32)
         elif source.endswith((".h5", ".hdf5")):
-            raise NotImplementedError(
-                "h5 PSFs need h5py, which is not in this image; convert to "
-                "tif with scripts/convert_psf.py")
+            # reference utils.py:566-568: h5py.File(...)['PSF'][:]
+            import h5py
+            with h5py.File(source, "r") as f:
+                psf = np.asarray(f["PSF"][:], np.float32)
         else:
             psf = read_tiff_stack(source)
     else:
