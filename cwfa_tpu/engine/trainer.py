@@ -307,6 +307,43 @@ class CWFATrainer:
         views_n = self._views_norm(raw)
         return views_n, vol, self.mean_caches[di]
 
+    def _batches(self, dataset: ConcatXLFMDataset):
+        """Per-dataset mini-batches of cfg.batch_size frame indices (frames
+        of one batch share a fish so they share its mean-volume cache;
+        reference main.py:38 exposes batch_size, its loop feeds 1 at a
+        time — batching frames is the TPU throughput lever)."""
+        bs = max(int(self.cfg.batch_size), 1)
+        by_ds: dict = {}
+        for ix in range(len(dataset)):
+            di, _ = dataset.locate(ix)
+            by_ds.setdefault(di, []).append(ix)
+        out = []
+        for di in sorted(by_ds):
+            ixs = by_ds[di]
+            for i in range(0, len(ixs), bs):
+                out.append((di, ixs[i:i + bs]))
+        return out
+
+    def _batch_inputs(self, dataset: ConcatXLFMDataset, di: int, ixs: list,
+                      tag: str):
+        """Stack a mini-batch: normalized views, GT pyramid levels (from the
+        per-sample cache), and the fish's mean caches broadcast to batch."""
+        views, pyrs = [], []
+        for ix in ixs:
+            views_n, vol, _ = self._sample_inputs(dataset, ix)
+            views.append(views_n)
+            pyrs.append(self._gt_pyramid(tag, ix, vol))
+        views_n = views[0] if len(ixs) == 1 else jnp.concatenate(views)
+        n_lvl = len(pyrs[0])
+        gt_cache = [pyrs[0][l] if len(ixs) == 1
+                    else jnp.concatenate([p[l] for p in pyrs])
+                    for l in range(n_lvl)]
+        mcs = self.mean_caches[di]
+        if len(ixs) > 1:
+            mcs = [jnp.broadcast_to(c, (len(ixs),) + c.shape[1:])
+                   for c in mcs]
+        return views_n, gt_cache, mcs
+
     def _gt_pyramid(self, tag: str, ix: int, vol):
         if ix not in self.gt_cache[tag]:
             nlls, cache, priors, ljs = self._pyramid(self.params, vol,
@@ -332,6 +369,15 @@ class CWFATrainer:
         return self._recon_to_level(self.params, self.mstate, views_n,
                                     mean_caches, self._next_key(), stage + 1)
 
+    def _stage_input_batch(self, ixs, views_n, mean_caches_1, stage):
+        """Batched _stage_input: per-sample cache hits, per-sample recompute
+        on miss (misses only occur on the first epoch of a stage)."""
+        outs = []
+        for j, ix in enumerate(ixs):
+            outs.append(self._stage_input(ix, views_n[j:j + 1],
+                                          mean_caches_1, stage))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
     def train_epoch(self, dataset: ConcatXLFMDataset, epoch: int,
                     tag: str = "train"):
         """One training epoch at the scheduled stage. Returns mean loss."""
@@ -342,9 +388,9 @@ class CWFATrainer:
         eps = max(cfg.epochs // cfg.INN_max_down_steps, 1)
         capture = ((epoch + 1) % eps == 0 and stage > 0)
         losses = []
-        for ix in range(len(dataset)):
-            views_n, vol, mean_caches = self._sample_inputs(dataset, ix)
-            gt_cache = self._gt_pyramid(tag, ix, vol)
+        for di, ixs in self._batches(dataset):
+            views_n, gt_cache, mean_caches = self._batch_inputs(
+                dataset, di, ixs, tag)
             if stage == nf:  # LRNN stage
                 (lrnn_p, lrnn_s, self.opt_lrnn, loss, out) = self._lrnn_step(
                     self.params, self.mstate, self.opt_lrnn, views_n,
@@ -352,7 +398,9 @@ class CWFATrainer:
                 self.params = {**self.params, "lrnn": lrnn_p}
                 self.mstate = {"lrnn": lrnn_s}
                 if capture:
-                    self.upsampled_cache[ix] = np.asarray(out)
+                    out = np.asarray(out)
+                    for j, ix in enumerate(ixs):
+                        self.upsampled_cache[ix] = out[j:j + 1]
             else:
                 k = stage
                 # train_with_gt_low_res (CWFA.py:866-869): feed the GT
@@ -366,7 +414,8 @@ class CWFATrainer:
                 if gt_lowres:
                     upsampled = gt_cache[k + 1]
                 else:
-                    upsampled = self._stage_input(ix, views_n, mean_caches, k)
+                    upsampled = self._stage_input_batch(
+                        ixs, views_n, self.mean_caches[di], k)
                 (fk, ck, of, oc, full, loss_c, nll, recon) = \
                     self._flow_steps[k](
                         self.params["flow"][k], self.params["cond"][k],
@@ -379,12 +428,14 @@ class CWFATrainer:
                 self.opt_flow[k], self.opt_cond[k] = of, oc
                 loss = full
                 if capture:
-                    self.upsampled_cache[ix] = np.asarray(recon)
+                    recon = np.asarray(recon)
+                    for j, ix in enumerate(ixs):
+                        self.upsampled_cache[ix] = recon[j:j + 1]
                 self.log.add(f"loss_LL/step_{k}", nll, epoch)
             losses.append(float(loss))
             if not np.isfinite(losses[-1]):
                 raise ValueError(f"Nan/Inf loss found in {tag} at epoch "
-                                 f"{epoch}, sample {ix} (CWFA.py:989-994)")
+                                 f"{epoch}, batch {ixs} (CWFA.py:989-994)")
         mean_loss = float(np.mean(losses))
         self.log.add(f"fine_tune/loss/{tag}", mean_loss, epoch)
         self.log.add("step_to_optimize", stage, epoch)
