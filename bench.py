@@ -75,12 +75,105 @@ def main():
             continue
         if best_fps > 0 and batch >= 8:
             break
+    # --- training-throughput regression guard (stderr; VERDICT r1 item 10):
+    # flagship per-sample step times back the "finetune fits the 5-minute
+    # budget" claim (ref CWFA.py:683,1030; README.md:22).
+    try:
+        train_ms = _train_step_times(cfg, model, params, mstate, stats,
+                                     mean_caches)
+        print(f"# train_step_ms: {json.dumps(train_ms)}", file=sys.stderr)
+    except Exception as e:
+        print(f"# train_step_ms failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "recon_fps_512x512x96",
         "value": round(best_fps, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(best_fps / 6.25, 3),
     }))
+
+
+def _train_step_times(cfg, model, params, mstate, stats, mean_caches,
+                      n_repeats: int = 5):
+    """Batch-1 jitted step times (ms) for the LRNN stage and flow step 0."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cwfa_tpu.engine import losses as L
+    from cwfa_tpu.engine.trainer import make_optimizers
+    from cwfa_tpu.models.cond_net import cond_network
+    from cwfa_tpu.models.cwf import cwf_step_forward, cwf_step_reverse
+
+    rng = np.random.RandomState(1)
+    side = cfg.volume_side_size
+    nf = model.n_flow_steps
+    spec = model.step_specs[0]
+    tx_flow, tx_cond, tx_lrnn = make_optimizers(model)
+    views_n = jnp.asarray(rng.randn(1, cfg.n_lenslets, side, side)
+                          .astype(np.float32))
+    gt0 = jnp.asarray(rng.randn(1, cfg.n_depths, side, side)
+                      .astype(np.float32))
+    gt_coarse = jnp.asarray(rng.randn(
+        1, cfg.n_depths // (2 ** nf), side, side).astype(np.float32))
+    upsampled = jnp.asarray(rng.randn(
+        1, cfg.n_depths // 2, side, side).astype(np.float32))
+    c_mean0 = mean_caches[0][:1].astype(jnp.float32)
+    mean_lrnn = mean_caches[nf - 1][:1].astype(jnp.float32)
+    opt_l = tx_lrnn.init(params["lrnn"])
+    opt_f = tx_flow.init(params["flow"][0])
+    opt_c = tx_cond.init(params["cond"][0])
+
+    @jax.jit
+    def lrnn_step(params, mstate, opt_l, key):
+        def loss(lp):
+            out, st = model.run_lrnn({**params, "lrnn": lp}, mstate, views_n,
+                                     mean_lrnn, train=True, rng=key)
+            return L.recon_loss(cfg.loss_func_first_step, gt_coarse, out), st
+        (l, st), g = jax.value_and_grad(loss, has_aux=True)(params["lrnn"])
+        up, opt_l = tx_lrnn.update(g, opt_l, params["lrnn"])
+        return optax.apply_updates(params["lrnn"], up), l
+
+    @jax.jit
+    def flow_step(fk, ck, opt_f, opt_c, key):
+        def loss(args):
+            fk, ck = args
+            cv = cond_network(ck, views_n, train=True, rng=key)
+            z = jnp.zeros((1, spec.c_flow, side, side), jnp.float32)
+            recon, _ = cwf_step_reverse(spec, fk, z, upsampled, cv, c_mean0)
+            lc = L.recon_loss(cfg.loss_func_reg, gt0, recon)
+            zz, _, logdet = cwf_step_forward(spec, fk, gt0, cv, c_mean0)
+            nll = (0.5 * jnp.sum(zz.astype(jnp.float32) ** 2)
+                   - jnp.mean(logdet)) / float(gt0.size)
+            return lc * cfg.INN_cond_weight + nll * (1 - cfg.INN_cond_weight)
+        l, (gf, gc) = jax.value_and_grad(loss)((fk, ck))
+        uf, opt_f = tx_flow.update(gf, opt_f, fk)
+        uc, opt_c = tx_cond.update(gc, opt_c, ck)
+        return optax.apply_updates(fk, uf), optax.apply_updates(ck, uc), l
+
+    out = {}
+    key = jax.random.PRNGKey(0)
+    lp, l = lrnn_step(params, mstate, opt_l, key)
+    np.asarray(l)                              # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(n_repeats):
+        lp, l = lrnn_step(params, mstate, opt_l, key)
+    np.asarray(l)
+    out["lrnn_stage"] = round((time.perf_counter() - t0) / n_repeats * 1e3, 1)
+
+    fk, ck, l = flow_step(params["flow"][0], params["cond"][0], opt_f, opt_c,
+                          key)
+    np.asarray(l)
+    t0 = time.perf_counter()
+    for _ in range(n_repeats):
+        fk, ck, l = flow_step(params["flow"][0], params["cond"][0], opt_f,
+                              opt_c, key)
+    np.asarray(l)
+    out["flow_step0"] = round((time.perf_counter() - t0) / n_repeats * 1e3, 1)
+    return out
 
 
 if __name__ == "__main__":
