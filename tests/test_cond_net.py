@@ -42,6 +42,50 @@ def test_banded_matches_direct_train_dropout():
                                atol=2e-4, rtol=1e-4)
 
 
+def test_depthbatch_matches_direct_eval():
+    """The depth-in-batch direct form (the production path for D>=24) must
+    match the NCDHW direct path."""
+    key = jax.random.PRNGKey(4)
+    params = init_cond_network(key, 5, 24, chans_3d=4)
+    x = jnp.asarray(np.random.RandomState(5)
+                    .randn(2, 5, 12, 12).astype(np.float32))
+    direct = cond_network(params, x, conv3d_impl="direct")
+    db = cond_network(params, x, conv3d_impl="depthbatch")
+    auto = cond_network(params, x)          # D=24 -> auto picks depthbatch
+    np.testing.assert_allclose(np.asarray(db), np.asarray(direct),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(auto), np.asarray(db))
+
+
+def test_depthbatch_matches_banded_train_dropout():
+    key = jax.random.PRNGKey(5)
+    params = init_cond_network(key, 3, 8, chans_3d=4)
+    x = jnp.asarray(np.random.RandomState(6)
+                    .randn(2, 3, 8, 8).astype(np.float32))
+    rng = jax.random.PRNGKey(9)
+    banded = cond_network(params, x, train=True, rng=rng,
+                          conv3d_impl="banded")
+    db = cond_network(params, x, train=True, rng=rng,
+                      conv3d_impl="depthbatch")
+    np.testing.assert_allclose(np.asarray(db), np.asarray(banded),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_grad_flows_through_depthbatch():
+    key = jax.random.PRNGKey(6)
+    params = init_cond_network(key, 3, 24, chans_3d=4)
+    x = jnp.asarray(np.random.RandomState(7)
+                    .randn(1, 3, 8, 8).astype(np.float32))
+
+    def loss(p):
+        return jnp.sum(cond_network(p, x, conv3d_impl="depthbatch") ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
 def test_grad_flows_through_banded():
     key = jax.random.PRNGKey(2)
     params = init_cond_network(key, 3, 4, chans_3d=4)
