@@ -34,7 +34,7 @@ class XLFMReconstructor:
         mean_i, std_i = stats.mean_imgs, stats.std_imgs
         mean_v, std_v = stats.mean_vols, stats.std_vols
 
-        def recon(params, mstate, raw_images, mean_caches, key):
+        def recon(params, mstate, raw_images, mean_caches, mean_branch, key):
             views = extract_views(raw_images, view_indices)
             views_n = ((views - mean_i) / std_i).astype(compute_dtype)
             b = raw_images.shape[0]
@@ -49,19 +49,35 @@ class XLFMReconstructor:
                 z_temperature=cfg.INN_z_temperature,
                 rng=None if deterministic else key,
                 train=False, lrnn_train=not deterministic,
-                n_samples=cfg.INN_n_samples, fast=use_pallas)
+                n_samples=cfg.INN_n_samples, fast=use_pallas,
+                lrnn_mean_branch=mean_branch)
             return vol.astype(jnp.float32) * std_v + mean_v
 
         self._fn = jax.jit(recon)
         self._params = params
         self._mstate = mstate
         self._mean_caches = [jnp.asarray(c) for c in mean_caches]
+        # The LRNN's ConvNeXt mean-volume correction is a pure function of
+        # the per-dataset mean cache — constant across frames — so the
+        # deterministic pipeline computes it once instead of running two
+        # ConvNeXt blocks + attention gate per frame (networks.py:551-555
+        # applied to a frame-independent input).
+        self._mean_branch = None
+        if deterministic and not model.cfg.force_last_step_NF:
+            from cwfa_tpu.models.lrnn import lrnn_mean_branch
+            nf = model.n_flow_steps
+
+            @jax.jit
+            def _branch(params, mc):
+                return lrnn_mean_branch(model.lrnn_spec, params["lrnn"],
+                                        mc.astype(compute_dtype))
+            self._mean_branch = _branch(params, self._mean_caches[nf - 1])
         self._key = jax.random.PRNGKey(cfg.seed)
 
     def __call__(self, raw_images) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
         return self._fn(self._params, self._mstate, jnp.asarray(raw_images),
-                        self._mean_caches, sub)
+                        self._mean_caches, self._mean_branch, sub)
 
     def warmup(self, batch_size: int, img_hw):
         dummy = jnp.zeros((batch_size,) + tuple(img_hw), jnp.float32)

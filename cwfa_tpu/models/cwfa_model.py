@@ -165,15 +165,15 @@ class CWFAModel:
         return cond_network(params["cond"][k], cond_input, train=train, rng=rng)
 
     def run_lrnn(self, params, state, cond_input, mean_vol, *, train=False,
-                 rng=None):
+                 rng=None, mean_branch=None):
         return lrnn(self.lrnn_spec, params["lrnn"], state["lrnn"], cond_input,
-                    mean_vol, train=train, rng=rng)
+                    mean_vol, train=train, rng=rng, mean_branch=mean_branch)
 
     def reconstruct(self, params, state, cond_input, mean_caches, *,
                     z_temperature: float = 0.0, rng=None, train: bool = False,
                     lrnn_train: bool | None = None,
                     n_samples: int = 1, return_pyramid: bool = False,
-                    fast: bool = False):
+                    fast: bool = False, lrnn_mean_branch=None):
         """Full generative chain (CWFA.py:865-927): LRNN at the coarsest
         level, then invert flow steps k = n-1..0, doubling depth each time.
 
@@ -202,7 +202,8 @@ class CWFAModel:
                 lrnn_train = train or rng is not None
             up, _ = self.run_lrnn(params, state, cond_input,
                                   mean_caches[nf - 1],
-                                  train=lrnn_train, rng=nxt())
+                                  train=lrnn_train, rng=nxt(),
+                                  mean_branch=lrnn_mean_branch)
         pyramid = {nf: up}
         c_views_all = None
         if not train and not force_all_nf:

@@ -81,16 +81,41 @@ def init_lrnn(key, spec: LRNNSpec):
     return params, {"unet": unet_state}
 
 
+def lrnn_mean_branch(spec: LRNNSpec, params, mean_vol, *, train=False,
+                     rng=None):
+    """The mean-volume correction term ``cnx2(cnx1(m)) * 2*(attn(m)-0.5)``
+    (reference networks.py:551-555).
+
+    This is a pure function of ``mean_vol`` — which at inference time is the
+    per-dataset mean-volume cache, constant across frames — so the inference
+    pipeline precomputes it once per cache instead of re-running two ConvNeXt
+    blocks (incl. a dense 7x7 64-wide conv) and the attention gate per frame
+    (see XLFMReconstructor)."""
+    rngs = cnn.key_iter(rng) if rng is not None else None
+    nxt = (lambda: next(rngs)) if rngs is not None else (lambda: None)
+    m = _convnext(params["cnx1"], mean_vol, spec.convnext_drop,
+                  train=train, rng=nxt())
+    m = _convnext(params["cnx2"], m, spec.convnext_drop,
+                  train=train, rng=nxt())
+    gate = 2.0 * (global_attention(params["attn"], mean_vol) - 0.5)
+    return m * gate
+
+
 def lrnn(spec: LRNNSpec, params, state, x, mean_vol=None, *, train=False,
-         rng=None):
+         rng=None, mean_branch=None):
     """x: (B, 29, H, W); mean_vol: (B, n_depths, H, W) or None.
-    Returns (volume, new_state)."""
+    Returns (volume, new_state).
+
+    mean_branch: optional precomputed ``lrnn_mean_branch`` output (broadcast
+    over the batch); when given, mean_vol is ignored."""
     rngs = cnn.key_iter(rng) if rng is not None else None
     nxt = (lambda: next(rngs)) if rngs is not None else (lambda: None)
     y = cnn.conv2d(params["proj"], x)
     y, unet_state = unet(spec.unet, params["unet"], state["unet"], y,
                          train=train, rng=nxt())
-    if mean_vol is not None:
+    if mean_branch is not None:
+        y = y + mean_branch
+    elif mean_vol is not None:
         m = _convnext(params["cnx1"], mean_vol, spec.convnext_drop,
                       train=train, rng=nxt())
         m = _convnext(params["cnx2"], m, spec.convnext_drop,

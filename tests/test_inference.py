@@ -1,0 +1,77 @@
+"""Inference-pipeline equivalence tests.
+
+The XLFMReconstructor applies inference-only rewrites of the reconstruction
+program (precomputed LRNN mean-branch; later: paired/quantized towers).
+Each rewrite must reproduce the plain ``model.reconstruct`` output.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cwfa_tpu.config import CWFAConfig
+from cwfa_tpu.data.stats import DatasetStatistics
+from cwfa_tpu.data.views import make_view_indices, extract_views
+from cwfa_tpu.engine.inference import XLFMReconstructor
+from cwfa_tpu.models.cwfa_model import CWFAModel
+from cwfa_tpu.models.lrnn import lrnn_mean_branch
+
+N_DEPTHS, VIEW, IMG, NLENS = 16, 32, 96, 4
+
+
+def _cfg(**kw):
+    return CWFAConfig(
+        n_depths=N_DEPTHS, volume_side_size=VIEW, n_lenslets=NLENS,
+        INN_max_down_steps=3, INN_n_blocks=2, INN_internal_chans=8,
+        INN_cond_chans=4, **kw).decode_lrs()
+
+
+def _setup(cfg):
+    model = CWFAModel.build(cfg)
+    params, mstate = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    coords = np.array([[24, 24], [24, 72], [72, 24], [72, 72]])
+    vidx = make_view_indices(coords, (IMG, IMG), (VIEW, VIEW))
+    nf = model.n_flow_steps
+    caches = [jnp.asarray(rng.randn(
+        1, N_DEPTHS // (2 ** (k + 1)), VIEW, VIEW).astype(np.float32))
+        for k in range(nf + 1)]
+    stats = DatasetStatistics(10.0, 5.0, 10.0, 5.0, 1.0, 0.5)
+    frames = jnp.asarray(rng.rand(2, IMG, IMG).astype(np.float32) * 100)
+    return model, params, mstate, vidx, caches, stats, frames
+
+
+def test_mean_branch_cache_matches_inline():
+    """Precomputed ConvNeXt mean-branch == per-frame inline computation."""
+    cfg = _cfg()
+    model, params, mstate, vidx, caches, stats, frames = _setup(cfg)
+    recon = XLFMReconstructor(model, params, mstate, stats, vidx, caches,
+                              deterministic=True)
+    assert recon._mean_branch is not None
+    out_cached = np.asarray(recon(frames))
+
+    # inline path: plain model.reconstruct on the same normalized views
+    views = extract_views(frames, vidx)
+    views_n = (views - stats.mean_imgs) / stats.std_imgs
+    b = frames.shape[0]
+    mcs = [jnp.broadcast_to(c, (b,) + c.shape[1:]) for c in caches]
+    vol = model.reconstruct(params, mstate, views_n, mcs,
+                            z_temperature=cfg.INN_z_temperature,
+                            rng=None, train=False, lrnn_train=False,
+                            n_samples=cfg.INN_n_samples)
+    out_inline = np.asarray(vol * stats.std_vols + stats.mean_vols)
+    np.testing.assert_allclose(out_cached, out_inline, rtol=1e-5, atol=1e-5)
+
+
+def test_mean_branch_is_frame_independent():
+    """The branch only depends on the mean cache, not on frames/batch."""
+    cfg = _cfg()
+    model, params, mstate, vidx, caches, stats, frames = _setup(cfg)
+    nf = model.n_flow_steps
+    mb1 = lrnn_mean_branch(model.lrnn_spec, params["lrnn"], caches[nf - 1])
+    mb4 = lrnn_mean_branch(
+        model.lrnn_spec, params["lrnn"],
+        jnp.broadcast_to(caches[nf - 1], (4,) + caches[nf - 1].shape[1:]))
+    np.testing.assert_allclose(np.asarray(mb4),
+                               np.broadcast_to(np.asarray(mb1), mb4.shape),
+                               rtol=1e-5, atol=1e-6)
