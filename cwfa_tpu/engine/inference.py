@@ -25,7 +25,8 @@ class XLFMReconstructor:
     def __init__(self, model: CWFAModel, params, mstate,
                  stats: DatasetStatistics, view_indices, mean_caches,
                  mesh=None, deterministic: bool = False,
-                 compute_dtype=jnp.float32, use_pallas: bool = False):
+                 compute_dtype=jnp.float32, use_pallas: bool = False,
+                 use_int8: bool = False, calib_frames=None):
         self.model = model
         self.stats = stats
         self.deterministic = deterministic
@@ -34,9 +35,24 @@ class XLFMReconstructor:
         mean_i, std_i = stats.mean_imgs, stats.std_imgs
         mean_v, std_v = stats.mean_vols, stats.std_vols
 
-        def recon(params, mstate, raw_images, mean_caches, mean_branch, key):
+        def _norm_views(raw_images):
             views = extract_views(raw_images, view_indices)
-            views_n = ((views - mean_i) / std_i).astype(compute_dtype)
+            return ((views - mean_i) / std_i).astype(compute_dtype)
+
+        # int8 coupling towers (ops/qtower): calibrate per-channel activation
+        # scales on real frames, fold into int8 weights once at build time.
+        self._qpacks = None
+        if use_int8:
+            if calib_frames is None:
+                raise ValueError("use_int8 requires calib_frames "
+                                 "(a batch of raw camera frames)")
+            calib_views = jax.jit(_norm_views)(jnp.asarray(calib_frames))
+            self._qpacks = jax.tree_util.tree_map(
+                jnp.asarray, model.quantize_steps(params, calib_views))
+
+        def recon(params, mstate, raw_images, mean_caches, mean_branch,
+                  qpacks, key):
+            views_n = _norm_views(raw_images)
             b = raw_images.shape[0]
             mcs = [jnp.broadcast_to(c.astype(compute_dtype),
                                     (b,) + c.shape[1:]) for c in mean_caches]
@@ -50,7 +66,7 @@ class XLFMReconstructor:
                 rng=None if deterministic else key,
                 train=False, lrnn_train=not deterministic,
                 n_samples=cfg.INN_n_samples, fast=use_pallas,
-                lrnn_mean_branch=mean_branch)
+                lrnn_mean_branch=mean_branch, qpacks=qpacks)
             return vol.astype(jnp.float32) * std_v + mean_v
 
         self._fn = jax.jit(recon)
@@ -77,7 +93,8 @@ class XLFMReconstructor:
     def __call__(self, raw_images) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
         return self._fn(self._params, self._mstate, jnp.asarray(raw_images),
-                        self._mean_caches, self._mean_branch, sub)
+                        self._mean_caches, self._mean_branch, self._qpacks,
+                        sub)
 
     def warmup(self, batch_size: int, img_hw):
         dummy = jnp.zeros((batch_size,) + tuple(img_hw), jnp.float32)

@@ -37,6 +37,7 @@ Condition wiring (verified against the reference graph construction):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -189,10 +190,14 @@ def _pair_conv(pa, pb, shared_input: bool):
     return out
 
 
-def _paired_tower(pa, pb, cond):
-    """Run two wavelet-flow subnets on the same input as one 2x-wide tower."""
-    paired = {
-        "b1": _pair_conv(pa["b1"], pb["b1"], shared_input=True),
+def pair_tower_params(pa, pb, shared_input: bool = True):
+    """Block-diagonally pair two towers' params into one 2x-wide tower.
+
+    shared_input=True stacks b1 on a common input (coupling towers of the
+    same step); False block-diagonalizes b1 too (input = channel concat of
+    two different conditions — the cross-step input-tower pairing)."""
+    return {
+        "b1": _pair_conv(pa["b1"], pb["b1"], shared_input=shared_input),
         "b2a": _pair_conv(pa["b2a"], pb["b2a"], shared_input=False),
         "b2b": _pair_conv(pa["b2b"], pb["b2b"], shared_input=False),
         "b4a": _pair_conv(pa["b4a"], pb["b4a"], shared_input=False),
@@ -201,22 +206,105 @@ def _paired_tower(pa, pb, cond):
         "b6b": _pair_conv(pa["b6b"], pb["b6b"], shared_input=False),
         "b7": _pair_conv(pa["b7"], pb["b7"], shared_input=False),
     }
-    out = fs.wavelet_flow_subnet2d(paired, cond)
+
+
+def _paired_tower(pa, pb, cond):
+    """Run two wavelet-flow subnets on the same input as one 2x-wide tower."""
+    out = fs.wavelet_flow_subnet2d(pair_tower_params(pa, pb), cond)
     half = out.shape[1] // 2
     return out[:, :half], out[:, half:]
 
 
-def _cat_block_st(spec: CWFStepSpec, params, c_views, raw: bool = False):
+def paired_tower_concat(pa, pb, cond_a, cond_b):
+    """Two towers with DIFFERENT inputs as one block-diagonal 2x-wide tower
+    (used to pair the per-step input-block towers ACROSS steps: every step
+    runs at the same 512x512 spatial size, and a 64-wide conv costs the
+    same as a 128-wide one on the MXU — see docs/PERFORMANCE.md)."""
+    out = fs.wavelet_flow_subnet2d(
+        pair_tower_params(pa, pb, shared_input=False),
+        jnp.concatenate([cond_a, cond_b], axis=1))
+    na = pa["b7"]["w"].shape[0]
+    return out[:, :na], out[:, na:]
+
+
+def input_tower_s_raw(step_specs, flow_params, c_views_list):
+    """Pre-clamp s of every CAT step's input ConditionalAffineTransform.
+
+    The input-block subnet (wavelet_flow_subnet2d_first) computes
+    s_raw = tower(c_views) and t = -c_mean/sqrt(2) (flow/subnets.py:82-89,
+    reference networks.py:656-671); s_raw only depends on the views
+    condition, so all steps' input towers can run before the reverse chain,
+    paired across consecutive steps into 128-wide towers.  Only valid for
+    CAT steps without disable_low_res_input."""
+    nf = len(step_specs)
+    outs = [None] * nf
+    i = 0
+    while i < nf:
+        if i + 1 < nf:
+            oa, ob = paired_tower_concat(
+                flow_params[i]["input_block"]["subnet"],
+                flow_params[i + 1]["input_block"]["subnet"],
+                c_views_list[i], c_views_list[i + 1])
+            outs[i], outs[i + 1] = oa, ob
+            i += 2
+        else:
+            outs[i] = fs.wavelet_flow_subnet2d(
+                flow_params[i]["input_block"]["subnet"], c_views_list[i])
+            i += 1
+    return outs
+
+
+def quantize_cat_step(spec: CWFStepSpec, params, c_views_sample):
+    """Build the int8 inference pack for one CAT step's paired coupling
+    towers (ops/qtower): per-channel activation calibration on sample
+    conditions, activation scales folded into per-output-channel int8
+    weights.  Returns a list of {"qw", "scales"} dicts, one per tower pair
+    (odd tail towers and the input block stay on the bf16 XLA path)."""
+    from cwfa_tpu.ops import qtower
+
+    packs = []
+    i = 0
+    while i + 1 < spec.n_blocks:
+        paired = pair_tower_params(params["blocks"][i]["subnet"],
+                                   params["blocks"][i + 1]["subnet"])
+        scales = qtower.pair_tower_calibrate(paired, c_views_sample)
+        packs.append({"qw": qtower.quantize_pair_tower(paired, scales),
+                      "scales": scales})
+        i += 2
+    return packs
+
+
+def _cat_block_st(spec: CWFStepSpec, params, c_views, raw: bool = False,
+                  qpack=None):
     """(s, t) for every coupling block, with consecutive blocks paired.
     raw=True returns the pre-clamp s_raw (the Pallas fast path clamps
-    in-kernel)."""
+    in-kernel).  qpack (from ``quantize_cat_step``) routes the paired towers
+    through the fused int8 Pallas kernel."""
     n = spec.c_flow
     outs = [None] * spec.n_blocks
+    xq = None
     i = 0
     while i < spec.n_blocks:
         if i + 1 < spec.n_blocks:
-            oa, ob = _paired_tower(params["blocks"][i]["subnet"],
-                                   params["blocks"][i + 1]["subnet"], c_views)
+            if qpack is not None:
+                from cwfa_tpu.ops import qtower
+                pk = qpack[i // 2]
+                if xq is None:
+                    # the input scale row depends only on c_views, so one
+                    # quantization serves every pair of this step
+                    xq = qtower.quantize_input(c_views, pk["scales"][0])
+                out = qtower.fused_pair_tower(
+                    xq, pk["qw"], pk["scales"],
+                    h=c_views.shape[2], w=c_views.shape[3],
+                    out_dtype=c_views.dtype,
+                    interpret=jax.default_backend() != "tpu")
+                out = jnp.transpose(out, (0, 3, 1, 2))
+                half = out.shape[1] // 2
+                oa, ob = out[:, :half], out[:, half:]
+            else:
+                oa, ob = _paired_tower(params["blocks"][i]["subnet"],
+                                       params["blocks"][i + 1]["subnet"],
+                                       c_views)
             outs[i], outs[i + 1] = oa, ob
             i += 2
         else:
@@ -234,7 +322,8 @@ def _cat_block_st(spec: CWFStepSpec, params, c_views, raw: bool = False):
     return st
 
 
-def _cat_reverse_fast(spec: CWFStepSpec, params, z, avg, c_views, c_mean):
+def _cat_reverse_fast(spec: CWFStepSpec, params, z, avg, c_views, c_mean,
+                      qpack=None, input_s_raw=None):
     """Inference-only reverse of a CAT step using the Pallas fused kernels
     (cwfa_tpu.ops.pallas_flow): exp+affine fused per block, and the input
     affine fused with the inverse Haar butterfly. The soft clamp runs in XLA
@@ -244,7 +333,7 @@ def _cat_reverse_fast(spec: CWFStepSpec, params, z, avg, c_views, c_mean):
                                           haar_merge_affine)
 
     n = spec.c_flow
-    st = _cat_block_st(spec, params, c_views, raw=True)
+    st = _cat_block_st(spec, params, c_views, raw=True, qpack=qpack)
     x = z
     if spec.use_final_perm:
         x = _apply_perm(spec.perms[spec.n_blocks], x, inverse=True)
@@ -253,22 +342,32 @@ def _cat_reverse_fast(spec: CWFStepSpec, params, z, avg, c_views, c_mean):
         s = clamp_s(s_raw, spec.clamp, spec.clamp_activation).astype(x.dtype)
         x = cat_affine(x, s, t, rev=True)
         x = _apply_perm(spec.perms[nn - 1], x, inverse=True)
-    if spec.disable_low_res_input:
-        a = fs.wavelet_flow_subnet2d(params["input_block"]["subnet"], c_views)
+    if input_s_raw is not None and not spec.disable_low_res_input:
+        s_in = clamp_s(input_s_raw, spec.clamp,
+                       spec.clamp_activation).astype(x.dtype)
+        t_in = -c_mean * jnp.asarray(fs._SQRT2_INV, x.dtype)
     else:
-        a = fs.wavelet_flow_subnet2d_first(
-            params["input_block"]["subnet"],
-            jnp.concatenate([c_mean, c_views], axis=1))
-    s_in = clamp_s(a[:, :n], spec.clamp, spec.clamp_activation).astype(x.dtype)
-    t_in = a[:, n:]
+        if spec.disable_low_res_input:
+            a = fs.wavelet_flow_subnet2d(params["input_block"]["subnet"],
+                                         c_views)
+        else:
+            a = fs.wavelet_flow_subnet2d_first(
+                params["input_block"]["subnet"],
+                jnp.concatenate([c_mean, c_views], axis=1))
+        s_in = clamp_s(a[:, :n], spec.clamp,
+                       spec.clamp_activation).astype(x.dtype)
+        t_in = a[:, n:]
     v = haar_merge_affine(x, s_in, t_in, avg)
     logdet = jnp.zeros((z.shape[0],), jnp.float32)  # not tracked (inference)
     return v, logdet
 
 
-def _cat_chain(spec: CWFStepSpec, params, x, c_views, rev: bool):
-    """The permute/CAT block chain via precomputed (s, t); logdet in fp32."""
-    st = _cat_block_st(spec, params, c_views)
+def _cat_chain(spec: CWFStepSpec, params, x, c_views, rev: bool, qpack=None):
+    """The permute/CAT block chain via precomputed (s, t); logdet in fp32.
+
+    With qpack, the paired (s, t) towers run int8; the logdet is computed
+    from the same quantized s, so (z, logdet) stay self-consistent."""
+    st = _cat_block_st(spec, params, c_views, qpack=qpack)
     logdet = jnp.zeros((x.shape[0],), jnp.float32)
     if not rev:
         for nn in range(1, spec.n_blocks + 1):
@@ -364,17 +463,23 @@ def cwf_step_forward(spec: CWFStepSpec, params, v, c_views, c_mean):
 
 
 def cwf_step_reverse(spec: CWFStepSpec, params, z, avg, c_views, c_mean,
-                     fast: bool = False):
+                     fast: bool = False, qpack=None, input_s_raw=None):
     """Generative direction: (z, averages) -> (volume, logdet).
 
     fast=True uses the Pallas fused kernels (inference only: no logdet, no
-    gradients); available for CAT steps on TPU."""
+    gradients); available for CAT steps on TPU.  qpack (quantize_cat_step)
+    routes the paired coupling towers through the fused int8 kernel —
+    inference only.  input_s_raw: precomputed input-block tower output
+    (``input_tower_s_raw``; CAT + low-res input only), letting the caller
+    pair input towers across steps."""
     if fast and spec.block_type == "CAT":
-        return _cat_reverse_fast(spec, params, z, avg, c_views, c_mean)
+        return _cat_reverse_fast(spec, params, z, avg, c_views, c_mean,
+                                 qpack=qpack, input_s_raw=input_s_raw)
     x = z
     logdet = jnp.zeros((z.shape[0],), jnp.float32)
     if spec.block_type == "CAT":
-        x, logdet = _cat_chain(spec, params, x, c_views, rev=True)
+        x, logdet = _cat_chain(spec, params, x, c_views, rev=True,
+                               qpack=qpack)
     else:
         if spec.use_final_perm:
             x = _apply_perm(spec.perms[spec.n_blocks], x, inverse=True)
@@ -383,7 +488,18 @@ def cwf_step_reverse(spec: CWFStepSpec, params, z, avg, c_views, c_mean,
                              rev=True)
             logdet = logdet + j
             x = _apply_perm(spec.perms[nn - 1], x, inverse=True)
-    x, j = _input_block(spec, params, x, c_views, c_mean, rev=True)
-    logdet = logdet + j
+    if (input_s_raw is not None and spec.block_type == "CAT"
+            and not spec.disable_low_res_input):
+        # input CAT from the precomputed tower output: s = clamp(f(s_raw)),
+        # t = -c_mean/sqrt(2) (flow/subnets.wavelet_flow_subnet2d_first)
+        fcl = fc.clamp_fn(spec.clamp_activation)
+        s = (spec.clamp * fcl(input_s_raw.astype(jnp.float32))).astype(x.dtype)
+        t = -c_mean * jnp.asarray(fs._SQRT2_INV, x.dtype)
+        x = (x - t) * jnp.exp(-s)
+        logdet = logdet - jnp.sum(s.astype(jnp.float32),
+                                  axis=tuple(range(1, s.ndim)))
+    else:
+        x, j = _input_block(spec, params, x, c_views, c_mean, rev=True)
+        logdet = logdet + j
     v, ld = haar1d_merge(avg, x)
     return v, logdet + ld

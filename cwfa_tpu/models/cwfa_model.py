@@ -25,7 +25,7 @@ from cwfa_tpu.config import CWFAConfig
 from cwfa_tpu.models.cond_net import init_cond_network, cond_network
 from cwfa_tpu.models.cwf import (
     CWFStepSpec, build_step_specs, init_cwf_step, cwf_step_forward,
-    cwf_step_reverse)
+    cwf_step_reverse, quantize_cat_step)
 from cwfa_tpu.models.lrnn import LRNNSpec, init_lrnn, lrnn
 
 
@@ -173,7 +173,8 @@ class CWFAModel:
                     z_temperature: float = 0.0, rng=None, train: bool = False,
                     lrnn_train: bool | None = None,
                     n_samples: int = 1, return_pyramid: bool = False,
-                    fast: bool = False, lrnn_mean_branch=None):
+                    fast: bool = False, lrnn_mean_branch=None, qpacks=None,
+                    pair_input_towers: bool = True):
         """Full generative chain (CWFA.py:865-927): LRNN at the coarsest
         level, then invert flow steps k = n-1..0, doubling depth each time.
 
@@ -181,6 +182,8 @@ class CWFAModel:
         mean_caches: per-level mean-volume difference caches, index k used as
           the flow condition at step k; entry [n_flow-1] feeds the LRNN
           (reference mean_vols_cache[n_net-1] at CWFA.py:882).
+        qpacks: optional per-step int8 tower packs (``quantize_steps``) —
+          inference-only quantized coupling towers.
         """
         rngs = cnn.key_iter(rng) if rng is not None else None
         nxt = (lambda: next(rngs)) if rngs is not None else (lambda: None)
@@ -211,6 +214,17 @@ class CWFAModel:
             # wide convs (models/cond_net.cond_networks_batched)
             from cwfa_tpu.models.cond_net import cond_networks_batched
             c_views_all = cond_networks_batched(params["cond"], cond_input)
+        # Pair the per-step 64-wide input-block towers across steps (exact;
+        # a 64-wide conv costs a full MXU tile anyway). Eval-only: training
+        # differentiates through _input_block per step.
+        input_s = None
+        if (c_views_all is not None and pair_input_towers
+                and all(s.block_type == "CAT"
+                        and not s.disable_low_res_input
+                        for s in self.step_specs)):
+            from cwfa_tpu.models.cwf import input_tower_s_raw
+            input_s = input_tower_s_raw(self.step_specs, params["flow"],
+                                        c_views_all)
         for k in range(nf - 1, -1, -1):
             spec = self.step_specs[k]
             if force_all_nf:
@@ -231,16 +245,22 @@ class CWFAModel:
                 z = jnp.zeros(zshape, up.dtype)
             else:
                 z = sample_z_truncated(nxt(), zshape, z_temperature, up.dtype)
+            qp = None if qpacks is None else qpacks[k]
+            isr = None if input_s is None else input_s[k]
             if n_samples > 1:
                 up_in = jnp.tile(up, (n_samples, 1, 1, 1))
                 cv = jnp.tile(c_views, (n_samples, 1, 1, 1))
                 cm = jnp.tile(c_mean, (n_samples, 1, 1, 1))
+                if isr is not None:
+                    isr = jnp.tile(isr, (n_samples, 1, 1, 1))
                 v, _ = cwf_step_reverse(spec, params["flow"][k], z, up_in,
-                                        cv, cm, fast=fast)
+                                        cv, cm, fast=fast, qpack=qp,
+                                        input_s_raw=isr)
                 v = v.reshape((n_samples, b) + v.shape[1:]).mean(0)
             else:
                 v, _ = cwf_step_reverse(spec, params["flow"][k], z, up,
-                                        c_views, c_mean, fast=fast)
+                                        c_views, c_mean, fast=fast,
+                                        qpack=qp, input_s_raw=isr)
             up = v
             pyramid[k] = up
         if return_pyramid:
@@ -257,6 +277,31 @@ class CWFAModel:
             v = v + 0.001 * jax.random.normal(key, v.shape, v.dtype)
         _, gt_cache, _, _ = self.forward_pyramid(params, v)
         return [g[:, ::2] - g[:, 1::2] for g in gt_cache]
+
+    def quantize_steps(self, params, cond_input, max_calib_frames: int = 2):
+        """Build int8 inference packs for every CAT step's paired coupling
+        towers, calibrated on a batch of normalized views (models/cwf.
+        quantize_cat_step).  Returns a list indexed by step k (None entries
+        for steps the quantized kernel does not cover).
+
+        Calibration is jitted (the f32 tower trace at flagship scale holds
+        ~1 GB per activation site — eager evaluation would keep all eight
+        alive) and capped at max_calib_frames frames; per-channel absmax
+        saturates quickly."""
+        from cwfa_tpu.models.cond_net import cond_networks_batched
+        cond_input = cond_input[:max_calib_frames]
+        c_views_all = jax.jit(cond_networks_batched)(params["cond"],
+                                                     cond_input)
+        packs = []
+        for k, spec in enumerate(self.step_specs):
+            if spec.block_type == "CAT" and spec.n_blocks >= 2 \
+                    and not self.cfg.force_all_steps_NF:
+                packs.append(jax.jit(quantize_cat_step,
+                                     static_argnums=0)(
+                    spec, params["flow"][k], c_views_all[k]))
+            else:
+                packs.append(None)
+        return packs
 
     def param_counts(self, params):
         """Printed at startup by the reference (CWFA.py:569-584)."""

@@ -107,10 +107,30 @@ def main():
     fps, _ = recon.throughput(frames, n_repeats=5)
     res["FULL (ms/frame)"] = 1.0 / fps
 
+    # int8 section: quantized paired towers (ops/qtower)
+    qpacks = model.quantize_steps(params, views_n)
+    for k in range(nf):
+        spec = model.step_specs[k]
+        if qpacks[k] is None:
+            continue
+
+        def f_towq(cv, k=k, spec=spec):
+            return _cat_block_st(spec, params["flow"][k], cv,
+                                 qpack=qpacks[k])
+        res[f"towers_i8[{k}]"] = timeit(jax.jit(f_towq), cvs[k])
+
+    recon8 = XLFMReconstructor(model, params, mstate, stats, vidx,
+                               mean_caches, deterministic=True,
+                               compute_dtype=dt, use_int8=True,
+                               calib_frames=frames)
+    recon8.warmup(batch, (img, img))
+    fps8, _ = recon8.throughput(frames, n_repeats=5)
+    res["FULL int8 (ms/frame)"] = 1.0 / fps8
+
     print(f"batch={batch}")
     for k, v in res.items():
-        print(f"  {k:16s}: {v*1e3:8.2f} ms  ({v*1e3/batch:6.2f} ms/frame)")
-    print(f"  fps = {fps:.2f}")
+        print(f"  {k:20s}: {v*1e3:8.2f} ms  ({v*1e3/batch:6.2f} ms/frame)")
+    print(f"  fps = {fps:.2f}   fps_int8 = {fps8:.2f}")
 
 
 if __name__ == "__main__":

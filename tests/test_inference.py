@@ -63,6 +63,44 @@ def test_mean_branch_cache_matches_inline():
     np.testing.assert_allclose(out_cached, out_inline, rtol=1e-5, atol=1e-5)
 
 
+def test_int8_towers_match_f32_pipeline():
+    """use_int8 routes the paired coupling towers through the fused int8
+    kernel (ops/qtower); the reconstruction must stay close to the f32
+    pipeline (the PSNR guard for VERDICT round-2 item #2)."""
+    cfg = _cfg()
+    model, params, mstate, vidx, caches, stats, frames = _setup(cfg)
+    ref = XLFMReconstructor(model, params, mstate, stats, vidx, caches,
+                            deterministic=True)
+    q = XLFMReconstructor(model, params, mstate, stats, vidx, caches,
+                          deterministic=True, use_int8=True,
+                          calib_frames=frames)
+    assert any(p is not None for p in q._qpacks)
+    out_f32 = np.asarray(ref(frames), np.float64)
+    out_q = np.asarray(q(frames), np.float64)
+    rel = (np.linalg.norm(out_q - out_f32)
+           / max(np.linalg.norm(out_f32 - out_f32.mean()), 1e-9))
+    assert rel < 0.05, f"int8 pipeline relative error {rel:.4f}"
+
+
+def test_paired_input_towers_match_per_step():
+    """Cross-step pairing of the input-block towers (models/cwf.
+    input_tower_s_raw) is numerics-identical to the per-step path."""
+    cfg = _cfg()
+    model, params, mstate, vidx, caches, stats, frames = _setup(cfg)
+    views = extract_views(frames, vidx)
+    views_n = ((views - stats.mean_imgs) / stats.std_imgs).astype(jnp.float32)
+    b = frames.shape[0]
+    mcs = [jnp.broadcast_to(c, (b,) + c.shape[1:]) for c in caches]
+    kw = dict(z_temperature=cfg.INN_z_temperature, rng=None, train=False,
+              lrnn_train=False, n_samples=cfg.INN_n_samples)
+    v_paired = model.reconstruct(params, mstate, views_n, mcs,
+                                 pair_input_towers=True, **kw)
+    v_plain = model.reconstruct(params, mstate, views_n, mcs,
+                                pair_input_towers=False, **kw)
+    np.testing.assert_allclose(np.asarray(v_paired), np.asarray(v_plain),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_mean_branch_is_frame_independent():
     """The branch only depends on the mean cache, not on frames/batch."""
     cfg = _cfg()
