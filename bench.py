@@ -59,11 +59,14 @@ def main():
     for batch in (4, 8, 1):
         gc.collect()
         try:
-            recon = XLFMReconstructor(
-                model, params, mstate, stats, vidx, mean_caches,
-                deterministic=True, compute_dtype=compute_dtype)
             frames = jnp.asarray(
                 rng.rand(batch, img, img).astype(np.float32) * 1000)
+            # use_int8: LRNN-UNet int8 path (per-channel calibrated; bounded
+            # vs f32 by tests/test_inference.py::test_int8_unet_...)
+            recon = XLFMReconstructor(
+                model, params, mstate, stats, vidx, mean_caches,
+                deterministic=True, compute_dtype=compute_dtype,
+                use_int8=True, calib_frames=frames)
             recon.warmup(batch, (img, img))
             fps_mean, fps_min = recon.throughput(frames, n_repeats=5)
             print(f"# batch={batch}: {fps_mean:.2f} fps (mean), "

@@ -26,7 +26,9 @@ class XLFMReconstructor:
                  stats: DatasetStatistics, view_indices, mean_caches,
                  mesh=None, deterministic: bool = False,
                  compute_dtype=jnp.float32, use_pallas: bool = False,
-                 use_int8: bool = False, calib_frames=None):
+                 use_int8: bool = False, calib_frames=None,
+                 pair_input_towers: bool = False,
+                 use_int8_towers: bool = False):
         self.model = model
         self.stats = stats
         self.deterministic = deterministic
@@ -39,19 +41,30 @@ class XLFMReconstructor:
             views = extract_views(raw_images, view_indices)
             return ((views - mean_i) / std_i).astype(compute_dtype)
 
-        # int8 coupling towers (ops/qtower): calibrate per-channel activation
-        # scales on real frames, fold into int8 weights once at build time.
+        # int8 inference packs, calibrated per-channel on real frames and
+        # folded into int8 weights once at build time:
+        # - use_int8: the LRNN UNet (models/unet — deep-N GEMMs where the
+        #   MXU int8 2x rate engages; the measured round-2 win);
+        # - use_int8_towers: the flow coupling towers through the fused
+        #   Pallas kernel (ops/qtower — measured to only tie bf16 on v5e at
+        #   these N=128 shapes; kept as an option for other hardware).
         self._qpacks = None
-        if use_int8:
+        self._unet_q = None
+        if use_int8 or use_int8_towers:
             if calib_frames is None:
-                raise ValueError("use_int8 requires calib_frames "
+                raise ValueError("int8 paths require calib_frames "
                                  "(a batch of raw camera frames)")
             calib_views = jax.jit(_norm_views)(jnp.asarray(calib_frames))
-            self._qpacks = jax.tree_util.tree_map(
-                jnp.asarray, model.quantize_steps(params, calib_views))
+            if use_int8:
+                self._unet_q = jax.tree_util.tree_map(
+                    jnp.asarray,
+                    model.quantize_unet_pack(params, mstate, calib_views))
+            if use_int8_towers:
+                self._qpacks = jax.tree_util.tree_map(
+                    jnp.asarray, model.quantize_steps(params, calib_views))
 
         def recon(params, mstate, raw_images, mean_caches, mean_branch,
-                  qpacks, key):
+                  qpacks, unet_q, key):
             views_n = _norm_views(raw_images)
             b = raw_images.shape[0]
             mcs = [jnp.broadcast_to(c.astype(compute_dtype),
@@ -66,7 +79,8 @@ class XLFMReconstructor:
                 rng=None if deterministic else key,
                 train=False, lrnn_train=not deterministic,
                 n_samples=cfg.INN_n_samples, fast=use_pallas,
-                lrnn_mean_branch=mean_branch, qpacks=qpacks)
+                lrnn_mean_branch=mean_branch, qpacks=qpacks,
+                pair_input_towers=pair_input_towers, unet_q=unet_q)
             return vol.astype(jnp.float32) * std_v + mean_v
 
         self._fn = jax.jit(recon)
@@ -94,7 +108,7 @@ class XLFMReconstructor:
         self._key, sub = jax.random.split(self._key)
         return self._fn(self._params, self._mstate, jnp.asarray(raw_images),
                         self._mean_caches, self._mean_branch, self._qpacks,
-                        sub)
+                        self._unet_q, sub)
 
     def warmup(self, batch_size: int, img_hw):
         dummy = jnp.zeros((batch_size,) + tuple(img_hw), jnp.float32)

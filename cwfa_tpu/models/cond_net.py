@@ -149,6 +149,58 @@ def _conv3d_pair_depthbatch(params, out, act, drop_rate, rng):
     return z
 
 
+@lru_cache(maxsize=32)
+def _tile_band(t: int) -> np.ndarray:
+    """band[tt, s, dc] = 1 iff s == tt + dc: output tile position tt reads
+    input window slice s = tt + dc (window starts at depth d0 - 1)."""
+    band = np.zeros((t, t + 2, 3), np.float32)
+    for tt in range(t):
+        for dc in range(3):
+            band[tt, tt + dc, dc] = 1.0
+    return band
+
+
+def _conv3d_pair_depthtile(params, out, act, drop_rate, rng, t: int = 4):
+    """depthbatch's conv_a with T output depths DENSELY tiled into one
+    conv: input (B*D/T, T+2, H, W) [overlapping depth windows as channels],
+    kernel (T*K, T+2, 3, 3).  At T=4/K=32 this is a 6->128-channel conv —
+    full MXU tiles — versus depthbatch's 3->32 (5% tile use) at 2x the
+    nominal MACs; numerics identical (the extra kernel entries are zero).
+    conv_b (the irreducibly N-starved half) stays in depthbatch form."""
+    b, d, h, w = out.shape
+    assert d % t == 0, (d, t)
+    wa, ba = params["c3a"]["w"], params["c3a"].get("b")   # (K,1,kh,kw,dc)
+    k = wa.shape[0]
+    band = jnp.asarray(_tile_band(t))
+    # (K, kh, kw, dc) x (T, T+2, dc) -> (T, K, T+2, kh, kw)
+    w_t = jnp.einsum("oxyd,tsd->tosxy", wa[:, 0], band) \
+        .reshape(t * k, t + 2, 3, 3)
+    xp = jnp.pad(out, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    # overlapping windows: window i covers padded depths [i*t, i*t + t + 2)
+    wins = jnp.stack([xp[:, j:j + d - t + 1:t] for j in range(t + 2)],
+                     axis=2)                               # (B, D/T, T+2, H, W)
+    y = cnn.conv2d({"w": w_t}, wins.reshape(b * (d // t), t + 2, h, w))
+    y = y.reshape(b * d, k, h, w)
+    if ba is not None:
+        y = y + ba.astype(y.dtype)[None, :, None, None]
+    y = act(y)
+    if drop_rate and rng is not None:
+        keep = 1.0 - drop_rate
+        mask = jax.random.bernoulli(rng, keep, (b, k))
+        m = mask[:, None, :, None, None]
+        y = jnp.where(jnp.broadcast_to(m, (b, d, k, h, w)).reshape(y.shape),
+                      y / keep, 0.0).astype(y.dtype)
+    wb, bb = params["c3b"]["w"], params["c3b"].get("b")
+    w_b = jnp.transpose(wb[0], (3, 0, 1, 2))
+    v = cnn.conv2d({"w": w_b}, y).reshape(b, d, 3, h, w)
+    z = v[:, :, 1]
+    z = z.at[:, 1:].add(v[:, :-1, 0])
+    z = z.at[:, :-1].add(v[:, 1:, 2])
+    if bb is not None:
+        z = z + bb.astype(z.dtype)[None, :, None, None]
+    return z
+
+
 def _conv3d_pair_direct(params, out, act, drop_rate, rng):
     """Reference-layout path: (B, C, H, W) -> (B, 1, H, W, C) -> Conv3d x2."""
     v = jnp.transpose(out, (0, 2, 3, 1))[:, None]
@@ -161,13 +213,21 @@ def _conv3d_pair_direct(params, out, act, drop_rate, rng):
 def _conv3d_pair(params, out, act, drop, rng, impl: str = "auto"):
     """Pick the 3-D pair formulation: the banded-dense form's D/3x FLOP
     blowup loses to the depth-in-batch direct form once D is large (measured
-    crossover ~D=24 on v5e; both are numerics-identical)."""
+    crossover ~D=24 on v5e; all are numerics-identical)."""
     if impl == "auto":
-        impl = "depthbatch" if out.shape[1] >= 24 else "banded"
+        # Round-2 re-measurement (scripts/profile_cond.py, batch 8): the
+        # depth-in-batch form wins at EVERY step depth (D=48: 4.1 vs
+        # banded's blowup; D=12: 1.50 vs 2.98; D=6: 1.39 vs 1.75 ms/frame),
+        # and depthtile's dense 6->128 conv_a measured 3.3x slower than
+        # depthbatch (this XLA build lowers small-C_in convs through a
+        # non-im2col path). Both stay available but are never auto-picked.
+        impl = "depthbatch"
     if impl == "banded":
         return _conv3d_pair_banded(params, out, act, drop, rng)
     if impl == "depthbatch":
         return _conv3d_pair_depthbatch(params, out, act, drop, rng)
+    if impl == "depthtile":
+        return _conv3d_pair_depthtile(params, out, act, drop, rng)
     return _conv3d_pair_direct(params, out, act, drop, rng)
 
 

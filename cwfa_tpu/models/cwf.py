@@ -227,7 +227,7 @@ def paired_tower_concat(pa, pb, cond_a, cond_b):
     return out[:, :na], out[:, na:]
 
 
-def input_tower_s_raw(step_specs, flow_params, c_views_list):
+def input_tower_s_raw(step_specs, flow_params, c_views_list, pair=True):
     """Pre-clamp s of every CAT step's input ConditionalAffineTransform.
 
     The input-block subnet (wavelet_flow_subnet2d_first) computes
@@ -240,7 +240,7 @@ def input_tower_s_raw(step_specs, flow_params, c_views_list):
     outs = [None] * nf
     i = 0
     while i < nf:
-        if i + 1 < nf:
+        if pair and i + 1 < nf:
             oa, ob = paired_tower_concat(
                 flow_params[i]["input_block"]["subnet"],
                 flow_params[i + 1]["input_block"]["subnet"],

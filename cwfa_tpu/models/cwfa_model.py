@@ -165,16 +165,33 @@ class CWFAModel:
         return cond_network(params["cond"][k], cond_input, train=train, rng=rng)
 
     def run_lrnn(self, params, state, cond_input, mean_vol, *, train=False,
-                 rng=None, mean_branch=None):
+                 rng=None, mean_branch=None, unet_q=None):
         return lrnn(self.lrnn_spec, params["lrnn"], state["lrnn"], cond_input,
-                    mean_vol, train=train, rng=rng, mean_branch=mean_branch)
+                    mean_vol, train=train, rng=rng, mean_branch=mean_branch,
+                    unet_q=unet_q)
+
+    def quantize_unet_pack(self, params, state, cond_input):
+        """int8 pack for the LRNN UNet (models/unet), calibrated on a batch
+        of normalized views. Returns {"qpack", "scales"} for
+        ``reconstruct(unet_q=...)``."""
+        from cwfa_tpu.models.unet import quantize_unet, unet_calibrate
+
+        @jax.jit
+        def _calib(params, state, cond_input):
+            y = cnn.conv2d(params["lrnn"]["proj"], cond_input)
+            return unet_calibrate(self.lrnn_spec.unet, params["lrnn"]["unet"],
+                                  state["lrnn"]["unet"], y)
+        scales = _calib(params, state, cond_input)
+        qpack = jax.jit(quantize_unet, static_argnums=0)(
+            self.lrnn_spec.unet, params["lrnn"]["unet"], scales)
+        return {"qpack": qpack, "scales": scales}
 
     def reconstruct(self, params, state, cond_input, mean_caches, *,
                     z_temperature: float = 0.0, rng=None, train: bool = False,
                     lrnn_train: bool | None = None,
                     n_samples: int = 1, return_pyramid: bool = False,
                     fast: bool = False, lrnn_mean_branch=None, qpacks=None,
-                    pair_input_towers: bool = True):
+                    pair_input_towers: bool = False, unet_q=None):
         """Full generative chain (CWFA.py:865-927): LRNN at the coarsest
         level, then invert flow steps k = n-1..0, doubling depth each time.
 
@@ -206,7 +223,8 @@ class CWFAModel:
             up, _ = self.run_lrnn(params, state, cond_input,
                                   mean_caches[nf - 1],
                                   train=lrnn_train, rng=nxt(),
-                                  mean_branch=lrnn_mean_branch)
+                                  mean_branch=lrnn_mean_branch,
+                                  unet_q=unet_q)
         pyramid = {nf: up}
         c_views_all = None
         if not train and not force_all_nf:
@@ -224,7 +242,8 @@ class CWFAModel:
                         for s in self.step_specs)):
             from cwfa_tpu.models.cwf import input_tower_s_raw
             input_s = input_tower_s_raw(self.step_specs, params["flow"],
-                                        c_views_all)
+                                        c_views_all,
+                                        pair=pair_input_towers != "hoist")
         for k in range(nf - 1, -1, -1):
             spec = self.step_specs[k]
             if force_all_nf:

@@ -102,17 +102,25 @@ def lrnn_mean_branch(spec: LRNNSpec, params, mean_vol, *, train=False,
 
 
 def lrnn(spec: LRNNSpec, params, state, x, mean_vol=None, *, train=False,
-         rng=None, mean_branch=None):
+         rng=None, mean_branch=None, unet_q=None):
     """x: (B, 29, H, W); mean_vol: (B, n_depths, H, W) or None.
     Returns (volume, new_state).
 
     mean_branch: optional precomputed ``lrnn_mean_branch`` output (broadcast
-    over the batch); when given, mean_vol is ignored."""
+    over the batch); when given, mean_vol is ignored.
+    unet_q: optional int8 UNet pack ({"qpack", "scales"} from
+    models/unet.quantize_unet) — eval-only quantized inference."""
     rngs = cnn.key_iter(rng) if rng is not None else None
     nxt = (lambda: next(rngs)) if rngs is not None else (lambda: None)
     y = cnn.conv2d(params["proj"], x)
-    y, unet_state = unet(spec.unet, params["unet"], state["unet"], y,
-                         train=train, rng=nxt())
+    if unet_q is not None and not train:
+        from cwfa_tpu.models.unet import unet_quantized
+        y, unet_state = unet_quantized(spec.unet, params["unet"],
+                                       state["unet"], y,
+                                       unet_q["qpack"], unet_q["scales"])
+    else:
+        y, unet_state = unet(spec.unet, params["unet"], state["unet"], y,
+                             train=train, rng=nxt())
     if mean_branch is not None:
         y = y + mean_branch
     elif mean_vol is not None:

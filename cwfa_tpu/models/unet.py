@@ -18,6 +18,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
+import jax.numpy as jnp
+
 from cwfa_tpu import nn as cnn
 
 
@@ -65,12 +68,16 @@ def _init_conv_block(key, c_in, c_out, batch_norm, use_bias, activation):
     return params, state
 
 
-def _conv_block(params, state, x, *, train, activation):
+def _conv_block(params, state, x, *, train, activation, conv_fn=None,
+                site=()):
+    cf = conv_fn or (lambda _s, p, v: cnn.conv2d(p, v))
     new_state = dict(state)
-    y = _act(activation, params["act1"], cnn.conv2d(params["conv1"], x))
+    y = _act(activation, params["act1"], cf(site + ("conv1",),
+                                            params["conv1"], x))
     if "bn1" in params:
         y, new_state["bn1"] = cnn.batchnorm(params["bn1"], state["bn1"], y, train)
-    y = _act(activation, params["act2"], cnn.conv2d(params["conv2"], y))
+    y = _act(activation, params["act2"], cf(site + ("conv2",),
+                                            params["conv2"], y))
     if "bn2" in params:
         y, new_state["bn2"] = cnn.batchnorm(params["bn2"], state["bn2"], y, train)
     return y, new_state
@@ -110,8 +117,16 @@ def _center_crop(layer, th, tw):
     return layer[:, :, dy:dy + th, dx:dx + tw]
 
 
-def unet(spec: UNetSpec, params, state, x, *, train=False, rng=None):
-    """x: (B, C, H, W); H, W must be divisible by 2^(depth-1)."""
+def unet(spec: UNetSpec, params, state, x, *, train=False, rng=None,
+         conv_fn=None, upconv_fn=None):
+    """x: (B, C, H, W); H, W must be divisible by 2^(depth-1).
+
+    conv_fn(site, conv_params, x) / upconv_fn(site, params, x): optional
+    overrides for every 3x3/1x1 conv and transposed conv — the hook used by
+    the int8 inference path (``unet_quantized``) and its calibration, so
+    all three share this exact forward structure."""
+    cf = conv_fn or (lambda _s, p, v: cnn.conv2d(p, v))
+    uf = upconv_fn or (lambda _s, p, v: cnn.conv_transpose2d(p, v))
     rngs = cnn.key_iter(rng) if rng is not None else None
     nxt = (lambda: next(rngs)) if rngs is not None else (lambda: None)
     drop = spec.drop_out if train else 0.0
@@ -119,21 +134,133 @@ def unet(spec: UNetSpec, params, state, x, *, train=False, rng=None):
     blocks = []
     for i in range(spec.depth):
         x, s = _conv_block(params["down"][i], state["down"][i], x, train=train,
-                           activation=spec.activation)
+                           activation=spec.activation, conv_fn=conv_fn,
+                           site=("down", i))
         new_state["down"].append(s)
         if i != spec.depth - 1:
             blocks.append(x)
             x = cnn.adaptive_max_pool2d_half(x)
             x = cnn.dropout2d(x, drop, nxt())
     for i, up_p in enumerate(params["up"]):
-        up = cnn.conv_transpose2d(up_p["up"], x)
+        up = uf(("up", i, "upconv"), up_p["up"], x)
         if spec.skip_conn:
             bridge = _center_crop(blocks[-i - 1], up.shape[2], up.shape[3])
             up = up + bridge  # additive skip (unet.py:190)
         x, s = _conv_block(up_p["conv_block"], state["up"][i], up, train=train,
-                           activation=spec.activation)
+                           activation=spec.activation, conv_fn=conv_fn,
+                           site=("up", i))
         new_state["up"].append(s)
         x = cnn.dropout2d(x, drop, nxt())
     x = _act(spec.activation, params["last"]["act"],
-             cnn.conv2d(params["last"]["conv"], x))
+             cf(("last",), params["last"]["conv"], x))
     return x, new_state
+
+
+# ---------------------------------------------------------------------------
+# int8 inference path (round 2)
+#
+# The LRNN UNet is ~2.3 TFLOP/frame of 256/512/1024-channel convs — unlike
+# the N=128 flow towers these are deep-N GEMMs where the v5e MXU's 2x int8
+# rate engages (measured 117/164/207 TOP/s vs 86/112/133 TF/s bf16 at the
+# three level shapes, scripts/bench_unet_int8.py).  Scheme mirrors
+# ops/qtower: static per-channel activation scales calibrated on sample
+# frames, folded into per-output-channel int8 weights; epilogues
+# (bias/PReLU/BN) stay in the compute dtype.  Eval-only.
+# ---------------------------------------------------------------------------
+
+
+def _q_w_conv(w, s_in, transposed=False):
+    """f32 conv weights -> int8 + (O,) scale, with the input site's
+    per-channel activation scale folded in.  Layout OIHW, or (I, O, kH, kW)
+    for transposed convs (torch ConvTranspose2d convention)."""
+    w = w.astype(jnp.float32)
+    if transposed:
+        w = w * s_in[:, None, None, None]
+        amax = jnp.max(jnp.abs(w), axis=(0, 2, 3))
+        q = w / jnp.where(amax > 0, amax / 127.0, 1.0)[None, :, None, None]
+    else:
+        w = w * s_in[None, :, None, None]
+        amax = jnp.max(jnp.abs(w), axis=(1, 2, 3))
+        q = w / jnp.where(amax > 0, amax / 127.0, 1.0)[:, None, None, None]
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(q), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _act_scale(v):
+    a = jnp.max(jnp.abs(v.astype(jnp.float32)), axis=(0, 2, 3)) / 127.0
+    return jnp.where(a > 0, a, 1.0)
+
+
+def unet_calibrate(spec: UNetSpec, params, state, x, margin: float = 1.0):
+    """Per-channel absmax activation scales for every conv input, from an
+    eval-mode forward on calibration inputs x. Returns {site: (Cin,) f32}."""
+    scales = {}
+
+    def rec(site, p, v):
+        scales[site] = _act_scale(v) * margin
+        return cnn.conv2d(p, v)
+
+    def rec_up(site, p, v):
+        scales[site] = _act_scale(v) * margin
+        return cnn.conv_transpose2d(p, v)
+
+    unet(spec, params, state, x, train=False, conv_fn=rec, upconv_fn=rec_up)
+    return scales
+
+
+def quantize_unet(spec: UNetSpec, params, act_scales):
+    """Pack int8 weights (+ f32 dequant scales) for every conv site.
+    Returns {site: {"wq", "sw"}}; biases stay in ``params``."""
+    packs = {}
+    for site, s_in in act_scales.items():
+        if site[0] == "down":
+            conv = params["down"][site[1]][site[2]]
+        elif site[0] == "up" and site[-1] == "upconv":
+            conv = params["up"][site[1]]["up"]
+        elif site[0] == "up":
+            conv = params["up"][site[1]]["conv_block"][site[2]]
+        else:
+            conv = params["last"]["conv"]
+        wq, sw = _q_w_conv(conv["w"], s_in,
+                           transposed=site[-1] == "upconv")
+        packs[site] = {"wq": wq, "sw": sw}
+    return packs
+
+
+def _conv_int8(qp, s_in, p, v, transposed=False):
+    """Quantize v per-channel, run the int8 conv, dequantize + bias."""
+    dt = v.dtype
+    q = jnp.clip(jnp.round(v.astype(jnp.float32)
+                           / s_in[None, :, None, None]),
+                 -127, 127).astype(jnp.int8)
+    if transposed:
+        acc = jax.lax.conv_transpose(
+            q, qp["wq"], strides=(2, 2), padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            transpose_kernel=True, preferred_element_type=jnp.int32)
+    else:
+        acc = jax.lax.conv_general_dilated(
+            q, qp["wq"], (1, 1),
+            "SAME" if qp["wq"].shape[-1] > 1 else "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * qp["sw"][None, :, None, None]
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)[None, :, None, None]
+    return y.astype(dt)
+
+
+def unet_quantized(spec: UNetSpec, params, state, x, qpack, act_scales):
+    """Eval-only forward with every conv in int8 (weights from
+    ``quantize_unet``, activations quantized per-channel on the fly)."""
+
+    def cf(site, p, v):
+        return _conv_int8(qpack[site], act_scales[site], p, v)
+
+    def uf(site, p, v):
+        return _conv_int8(qpack[site], act_scales[site], p, v,
+                          transposed=True)
+
+    return unet(spec, params, state, x, train=False, conv_fn=cf,
+                upconv_fn=uf)

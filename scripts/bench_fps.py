@@ -1,0 +1,51 @@
+"""Quick full-pipeline fps at a given batch (default 8) on TPU.
+Usage: python scripts/bench_fps.py [batch] [--int8]"""
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cwfa_tpu.config import CWFAConfig
+from cwfa_tpu.data.stats import DatasetStatistics
+from cwfa_tpu.data.views import make_view_indices
+from cwfa_tpu.engine.inference import XLFMReconstructor
+from cwfa_tpu.models.cwfa_model import CWFAModel
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    batch = int(args[0]) if args and args[0].isdigit() else 8
+    use_int8 = "--int8" in args
+    cfg = CWFAConfig().decode_lrs()
+    img = 2160
+    model = CWFAModel.build(cfg)
+    params, mstate = model.init(jax.random.PRNGKey(0))
+    stats = DatasetStatistics(100.0, 50.0, 100.0, 50.0, 10.0, 5.0)
+    side = cfg.volume_side_size
+    g = int(np.ceil(np.sqrt(cfg.n_lenslets)))
+    half = side // 2
+    xs = np.linspace(half, img - half, g).astype(np.int64)
+    coords = np.array([(x, y) for x in xs for y in xs][:cfg.n_lenslets])
+    vidx = make_view_indices(coords, (img, img), (side, side))
+    nf = model.n_flow_steps
+    key = jax.random.PRNGKey(1)
+    mean_caches = [jax.random.normal(
+        jax.random.fold_in(key, k),
+        (1, cfg.n_depths // (2 ** (k + 1)), side, side)) for k in range(nf + 1)]
+    dt = jnp.bfloat16 if cfg.use_half_precision else jnp.float32
+    frames = jax.random.uniform(key, (batch, img, img), jnp.float32) * 1000
+    pair = "hoist" if "--hoist" in args else ("--pair" in args)
+    recon = XLFMReconstructor(model, params, mstate, stats, vidx, mean_caches,
+                              deterministic=True, compute_dtype=dt,
+                              use_int8=use_int8,
+                              calib_frames=frames if use_int8 else None,
+                              pair_input_towers=pair)
+    recon.warmup(batch, (img, img))
+    fps, _ = recon.throughput(frames, n_repeats=5)
+    print(f"batch={batch} int8={use_int8} pair={pair}: "
+          f"{1e3/fps:.2f} ms/frame  fps = {fps:.2f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

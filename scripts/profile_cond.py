@@ -63,7 +63,8 @@ def main():
 
     for k, p in enumerate(plist):
         d = outs[k].shape[1]
-        for impl in (["depthbatch", "banded"] if d >= 24 else ["banded"]):
+        impls = ["banded", "depthbatch"] if d < 24 else ["depthbatch"]
+        for impl in impls:
             def f3(o, p=p, impl=impl):
                 act = lambda u: cnn.prelu(p["prelu"], u)
                 return _conv3d_pair(p, o, act, 0.0, None, impl)

@@ -89,6 +89,15 @@ def main():
             return _cat_block_st(spec, params["flow"][k], cv)
         res[f"towers[{k}]"] = timeit(jax.jit(f_tow), cvs[k])
 
+    from cwfa_tpu.flow import subnets as _fs
+
+    @jax.jit
+    def f_inp(cvs):
+        return [_fs.wavelet_flow_subnet2d(
+            params["flow"][k]["input_block"]["subnet"], cvs[k])
+            for k in range(nf)]
+    res["input_towers(4)"] = timeit(f_inp, cvs)
+
     # full reverse step k=0 (towers + input tower + chain + haar)
     spec0 = model.step_specs[0]
     z0 = jnp.zeros((batch, spec0.c_flow, side, side), dt)
@@ -106,6 +115,13 @@ def main():
     recon.warmup(batch, (img, img))
     fps, _ = recon.throughput(frames, n_repeats=5)
     res["FULL (ms/frame)"] = 1.0 / fps
+
+    if len(sys.argv) > 2 and sys.argv[2] == "noint8":
+        print(f"batch={batch}")
+        for k, v in res.items():
+            print(f"  {k:20s}: {v*1e3:8.2f} ms  ({v*1e3/batch:6.2f} "
+                  f"ms/frame)")
+        return
 
     # int8 section: quantized paired towers (ops/qtower)
     qpacks = model.quantize_steps(params, views_n)

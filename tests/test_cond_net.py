@@ -51,10 +51,31 @@ def test_depthbatch_matches_direct_eval():
                     .randn(2, 5, 12, 12).astype(np.float32))
     direct = cond_network(params, x, conv3d_impl="direct")
     db = cond_network(params, x, conv3d_impl="depthbatch")
-    auto = cond_network(params, x)          # D=24 -> auto picks depthbatch
+    auto = cond_network(params, x)          # D=24 -> auto picks depthtile
     np.testing.assert_allclose(np.asarray(db), np.asarray(direct),
                                atol=2e-4, rtol=1e-4)
-    np.testing.assert_array_equal(np.asarray(auto), np.asarray(db))
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(direct),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_depthtile_matches_direct_eval_and_train():
+    """The depth-tiled dense conv_a (production path for D%4==0, D>=24)
+    must match the NCDHW direct path, in eval and under dropout."""
+    key = jax.random.PRNGKey(14)
+    params = init_cond_network(key, 5, 24, chans_3d=4)
+    x = jnp.asarray(np.random.RandomState(15)
+                    .randn(2, 5, 12, 12).astype(np.float32))
+    direct = cond_network(params, x, conv3d_impl="direct")
+    dt = cond_network(params, x, conv3d_impl="depthtile")
+    np.testing.assert_allclose(np.asarray(dt), np.asarray(direct),
+                               atol=2e-4, rtol=1e-4)
+    rng = jax.random.PRNGKey(16)
+    db_t = cond_network(params, x, train=True, rng=rng,
+                        conv3d_impl="depthbatch")
+    dt_t = cond_network(params, x, train=True, rng=rng,
+                        conv3d_impl="depthtile")
+    np.testing.assert_allclose(np.asarray(dt_t), np.asarray(db_t),
+                               atol=2e-4, rtol=1e-4)
 
 
 def test_depthbatch_matches_banded_train_dropout():

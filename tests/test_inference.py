@@ -63,23 +63,36 @@ def test_mean_branch_cache_matches_inline():
     np.testing.assert_allclose(out_cached, out_inline, rtol=1e-5, atol=1e-5)
 
 
-def test_int8_towers_match_f32_pipeline():
-    """use_int8 routes the paired coupling towers through the fused int8
-    kernel (ops/qtower); the reconstruction must stay close to the f32
-    pipeline (the PSNR guard for VERDICT round-2 item #2)."""
-    cfg = _cfg()
+def _rel_to_f32(cfg_kwargs, **recon_kwargs):
+    cfg = _cfg(**cfg_kwargs)
     model, params, mstate, vidx, caches, stats, frames = _setup(cfg)
     ref = XLFMReconstructor(model, params, mstate, stats, vidx, caches,
                             deterministic=True)
     q = XLFMReconstructor(model, params, mstate, stats, vidx, caches,
-                          deterministic=True, use_int8=True,
-                          calib_frames=frames)
-    assert any(p is not None for p in q._qpacks)
+                          deterministic=True, calib_frames=frames,
+                          **recon_kwargs)
     out_f32 = np.asarray(ref(frames), np.float64)
     out_q = np.asarray(q(frames), np.float64)
     rel = (np.linalg.norm(out_q - out_f32)
            / max(np.linalg.norm(out_f32 - out_f32.mean()), 1e-9))
-    assert rel < 0.05, f"int8 pipeline relative error {rel:.4f}"
+    return q, rel
+
+
+def test_int8_towers_match_f32_pipeline():
+    """use_int8_towers routes the paired coupling towers through the fused
+    int8 kernel (ops/qtower); the reconstruction must stay close to the f32
+    pipeline (the PSNR guard for VERDICT round-2 item #2)."""
+    q, rel = _rel_to_f32({}, use_int8_towers=True)
+    assert any(p is not None for p in q._qpacks)
+    assert rel < 0.05, f"int8 tower pipeline relative error {rel:.4f}"
+
+
+def test_int8_unet_matches_f32_pipeline():
+    """use_int8 quantizes the LRNN UNet (models/unet int8 path — the
+    round-2 throughput win); PSNR guard vs the f32 pipeline."""
+    q, rel = _rel_to_f32({}, use_int8=True)
+    assert q._unet_q is not None
+    assert rel < 0.05, f"int8 UNet pipeline relative error {rel:.4f}"
 
 
 def test_paired_input_towers_match_per_step():
