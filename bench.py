@@ -56,7 +56,7 @@ def main():
     best_fps = 0.0
     # batch 4 first: historically the sweet spot; batch 8 compiles
     # intermittently hit the HBM ceiling on this chip
-    for batch in (4, 8, 1):
+    for batch in (8, 16, 4, 1):
         gc.collect()
         try:
             frames = jnp.asarray(
@@ -76,7 +76,7 @@ def main():
             print(f"# batch={batch} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
             continue
-        if best_fps > 0 and batch >= 8:
+        if best_fps > 0 and batch >= 16:
             break
     # --- training-throughput regression guard (stderr; VERDICT r1 item 10):
     # flagship per-sample step times back the "finetune fits the 5-minute

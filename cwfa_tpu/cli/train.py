@@ -80,6 +80,11 @@ def main(argv=None):
                   for f in dataclasses.fields(CWFAConfig)
                   if hasattr(args, f.name)}
     cfg = CWFAConfig(**cfg_kwargs).decode_lrs()
+    if cfg.INN_net_type == 0:
+        # vestigial in the reference too: type 0 only picks a checkpoint
+        # path (main.py:116); no construction path builds a plain INN
+        print("warning: INN_net_type=0 (plain INN) is vestigial — "
+              "training the CWF (type 1) architecture", flush=True)
     set_all_seeds(cfg.seed)
 
     groups, paths = cross_validation_groups(cfg.main_data_path,

@@ -240,7 +240,9 @@ def input_tower_s_raw(step_specs, flow_params, c_views_list, pair=True):
     outs = [None] * nf
     i = 0
     while i < nf:
-        if pair and i + 1 < nf:
+        do_pair = (pair is True and i + 1 < nf) or \
+                  (pair == "tail" and i + 1 == nf - 1)
+        if do_pair:
             oa, ob = paired_tower_concat(
                 flow_params[i]["input_block"]["subnet"],
                 flow_params[i + 1]["input_block"]["subnet"],

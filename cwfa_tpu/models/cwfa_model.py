@@ -191,7 +191,7 @@ class CWFAModel:
                     lrnn_train: bool | None = None,
                     n_samples: int = 1, return_pyramid: bool = False,
                     fast: bool = False, lrnn_mean_branch=None, qpacks=None,
-                    pair_input_towers: bool = False, unet_q=None):
+                    pair_input_towers="tail", unet_q=None):
         """Full generative chain (CWFA.py:865-927): LRNN at the coarsest
         level, then invert flow steps k = n-1..0, doubling depth each time.
 
@@ -243,7 +243,8 @@ class CWFAModel:
             from cwfa_tpu.models.cwf import input_tower_s_raw
             input_s = input_tower_s_raw(self.step_specs, params["flow"],
                                         c_views_all,
-                                        pair=pair_input_towers != "hoist")
+                                        pair=(False if pair_input_towers == "hoist"
+                                              else pair_input_towers))
         for k in range(nf - 1, -1, -1):
             spec = self.step_specs[k]
             if force_all_nf:

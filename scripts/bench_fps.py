@@ -35,7 +35,9 @@ def main():
         (1, cfg.n_depths // (2 ** (k + 1)), side, side)) for k in range(nf + 1)]
     dt = jnp.bfloat16 if cfg.use_half_precision else jnp.float32
     frames = jax.random.uniform(key, (batch, img, img), jnp.float32) * 1000
-    pair = "hoist" if "--hoist" in args else ("--pair" in args)
+    pair = ("hoist" if "--hoist" in args else
+            True if "--pair" in args else
+            False if "--nopair" in args else "tail")
     recon = XLFMReconstructor(model, params, mstate, stats, vidx, mean_caches,
                               deterministic=True, compute_dtype=dt,
                               use_int8=use_int8,

@@ -106,12 +106,14 @@ def test_paired_input_towers_match_per_step():
     mcs = [jnp.broadcast_to(c, (b,) + c.shape[1:]) for c in caches]
     kw = dict(z_temperature=cfg.INN_z_temperature, rng=None, train=False,
               lrnn_train=False, n_samples=cfg.INN_n_samples)
-    v_paired = model.reconstruct(params, mstate, views_n, mcs,
-                                 pair_input_towers=True, **kw)
     v_plain = model.reconstruct(params, mstate, views_n, mcs,
                                 pair_input_towers=False, **kw)
-    np.testing.assert_allclose(np.asarray(v_paired), np.asarray(v_plain),
-                               rtol=2e-5, atol=2e-5)
+    for mode in (True, "tail", "hoist"):
+        v_m = model.reconstruct(params, mstate, views_n, mcs,
+                                pair_input_towers=mode, **kw)
+        np.testing.assert_allclose(np.asarray(v_m), np.asarray(v_plain),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"mode={mode}")
 
 
 def test_mean_branch_is_frame_independent():
