@@ -36,6 +36,7 @@ def main():
     dt = jnp.bfloat16 if cfg.use_half_precision else jnp.float32
     frames = jax.random.uniform(key, (batch, img, img), jnp.float32) * 1000
     pair = ("hoist" if "--hoist" in args else
+            "mid" if "--mid" in args else
             True if "--pair" in args else
             False if "--nopair" in args else "tail")
     recon = XLFMReconstructor(model, params, mstate, stats, vidx, mean_caches,
