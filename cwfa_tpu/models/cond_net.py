@@ -279,14 +279,18 @@ def cond_networks_batched(params_list, x):
     w2 = _block_diag_w([p["conv2"]["w"] for p in params_list])
     b2 = jnp.concatenate([p["conv2"]["b"] for p in params_list], 0)
 
-    y1 = cnn.conv2d({"w": w1, "b": b1}, x)
+    # conv1 and down share the input: one 2x-wider conv (N=180 instead of
+    # two N=90 launches) then split
+    n1 = w1.shape[0]
+    y1d = cnn.conv2d({"w": jnp.concatenate([w1, wd], 0),
+                      "b": jnp.concatenate([b1, bd], 0)}, x)
+    y1, res = y1d[:, :n1], y1d[:, n1:]
     # per-net PReLU on the stacked channels
     segs = np.cumsum([0] + c_outs)
     y1 = jnp.concatenate(
         [cnn.prelu(p["prelu"], y1[:, segs[i]:segs[i + 1]])
          for i, p in enumerate(params_list)], axis=1)
     y2 = cnn.conv2d({"w": w2, "b": b2}, y1)
-    res = cnn.conv2d({"w": wd, "b": bd}, x)
     outs = []
     for i, p in enumerate(params_list):
         seg = slice(segs[i], segs[i + 1])
