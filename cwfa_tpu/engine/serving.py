@@ -1,0 +1,179 @@
+"""Production streaming reconstruction service.
+
+The reference reconstructs inside its evaluation loop and writes one TIFF
+volume per frame (CWFA.py:1047-1055, main_deconvolve_dataset.py's batch
+driver is the closest thing to a service).  This module is the
+deployment-shaped version for TPU: a fixed-batch, double-buffered pipeline
+around :class:`XLFMReconstructor` that overlaps host I/O with device
+execution.
+
+Design for the remote-execution platform (see XLFMReconstructor.throughput):
+jax dispatch is asynchronous — calling the jitted program returns
+future-backed arrays immediately.  The service keeps ONE batch in flight:
+while batch N executes on the TPU, the host fetches batch N-1's volumes and
+decodes/submits batch N+1's frames, so steady-state throughput equals the
+device's batched rate and the ~25 ms dispatch round trip is paid once per
+batch, not per frame.
+
+Partial batches are zero-padded to the fixed compiled batch size (one XLA
+program, no re-compilation) and the padding outputs are dropped.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class ServiceStats:
+    frames_in: int = 0
+    frames_out: int = 0
+    batches: int = 0
+    padded_frames: int = 0
+    t_start: float = field(default_factory=time.perf_counter)
+    fetch_seconds: float = 0.0
+    batch_latencies: list = field(default_factory=list)
+
+    @property
+    def throughput_fps(self) -> float:
+        dt = time.perf_counter() - self.t_start
+        return self.frames_out / dt if dt > 0 else 0.0
+
+    def latency_percentile(self, q: float) -> float:
+        if not self.batch_latencies:
+            return 0.0
+        return float(np.percentile(np.asarray(self.batch_latencies), q))
+
+    def summary(self) -> dict:
+        return {
+            "frames": self.frames_out,
+            "batches": self.batches,
+            "padded_frames": self.padded_frames,
+            "throughput_fps": round(self.throughput_fps, 3),
+            "batch_latency_p50_s": round(self.latency_percentile(50), 4),
+            "batch_latency_p95_s": round(self.latency_percentile(95), 4),
+        }
+
+
+class ReconstructionService:
+    """Fixed-batch streaming wrapper: submit frames, receive volumes.
+
+    reconstructor: a built (and ideally warmed) XLFMReconstructor.
+    batch_size:    the compiled batch size (frames are buffered to it).
+    on_volume:     callback(frame_id, volume_np) invoked for every finished
+                   frame, in submission order.
+    """
+
+    def __init__(self, reconstructor, batch_size: int, img_hw,
+                 on_volume=None):
+        self._recon = reconstructor
+        self._bs = int(batch_size)
+        self._img_hw = tuple(img_hw)
+        self._on_volume = on_volume
+        self._buf: list[tuple[object, np.ndarray]] = []
+        self._inflight = None         # (device_out, ids, n_valid, t_enqueue)
+        self.stats = ServiceStats()
+
+    # ------------------------------------------------------------------ api
+    def submit(self, frame, frame_id=None):
+        """Queue one raw camera frame (H, W); flushes when a batch fills."""
+        frame = np.asarray(frame, np.float32)
+        if frame.shape != self._img_hw:
+            raise ValueError(f"frame shape {frame.shape} != {self._img_hw}")
+        if frame_id is None:
+            frame_id = self.stats.frames_in
+        self.stats.frames_in += 1
+        self._buf.append((frame_id, frame))
+        if len(self._buf) >= self._bs:
+            self._flush()
+
+    def drain(self):
+        """Flush any partial batch and wait for all results."""
+        if self._buf:
+            self._flush()
+        self._collect()
+        return self.stats.summary()
+
+    close = drain
+
+    # ------------------------------------------------------------- internal
+    def _flush(self):
+        batch = self._buf[:self._bs]
+        self._buf = self._buf[self._bs:]
+        n = len(batch)
+        frames = np.zeros((self._bs,) + self._img_hw, np.float32)
+        for i, (_, f) in enumerate(batch):
+            frames[i] = f
+        self.stats.padded_frames += self._bs - n
+        # collect the PREVIOUS in-flight batch first: the new dispatch below
+        # then executes while the caller prepares the next frames
+        self._collect()
+        t0 = time.perf_counter()
+        out = self._recon(frames)          # async dispatch
+        self._inflight = (out, [fid for fid, _ in batch], n, t0)
+        self.stats.batches += 1
+
+    def _collect(self):
+        if self._inflight is None:
+            return
+        out, ids, n, t0 = self._inflight
+        self._inflight = None
+        t1 = time.perf_counter()
+        host = np.asarray(out)             # device->host fetch (sync point)
+        self.stats.fetch_seconds += time.perf_counter() - t1
+        self.stats.batch_latencies.append(time.perf_counter() - t0)
+        for i in range(n):
+            if self._on_volume is not None:
+                self._on_volume(ids[i], host[i])
+            self.stats.frames_out += 1
+
+
+def serve_directory(reconstructor, batch_size, img_hw, in_dir, out_dir,
+                    pattern=".tif", poll_seconds: float = 0.0,
+                    limit: int | None = None, verbose: bool = True):
+    """Reconstruct every TIFF frame in a directory (optionally watching for
+    new files), writing one volume TIFF per frame — the service-shaped
+    version of the reference's per-frame dump loop (CWFA.py:1047-1055).
+
+    Returns the stats summary dict."""
+    from cwfa_tpu.data.tiff import read_tiff_stack, write_tiff_stack
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def on_volume(frame_id, vol):
+        write_tiff_stack(
+            os.path.join(out_dir, f"XLFM_stack_{frame_id}.tif"),
+            vol.astype(np.float32))
+
+    svc = ReconstructionService(reconstructor, batch_size, img_hw,
+                                on_volume=on_volume)
+    seen = set()
+    done = 0
+    while True:
+        names = sorted(f for f in os.listdir(in_dir)
+                       if f.endswith(pattern) and f not in seen)
+        for name in names:
+            seen.add(name)
+            stack = read_tiff_stack(os.path.join(in_dir, name))
+            if stack.ndim == 2:
+                stack = stack[None]
+            for page in stack:
+                svc.submit(page, frame_id=os.path.splitext(name)[0]
+                           if stack.shape[0] == 1 else f"{name}_{done}")
+                done += 1
+                if limit and done >= limit:
+                    break
+            if limit and done >= limit:
+                break
+        if (limit and done >= limit) or not poll_seconds:
+            break
+        time.sleep(poll_seconds)
+    out = svc.drain()
+    if verbose:
+        print(f"served {out['frames']} frames: {out['throughput_fps']} fps, "
+              f"p95 batch latency {out['batch_latency_p95_s']} s")
+    return out

@@ -127,7 +127,11 @@ class CWFATrainer:
         self.upsampled_cache: dict = {}
         self.mean_caches: dict = {}      # dataset_ix -> list of cache levels
 
-        self._build_jitted()
+        # stats may be None for serving/eval-from-checkpoint construction;
+        # load_checkpoints restores them (they ride in every checkpoint)
+        # and builds the jitted programs then.
+        if self.stats is not None:
+            self._build_jitted()
 
     # ------------------------------------------------------------------ rng
     def _next_key(self):
@@ -677,6 +681,12 @@ class CWFATrainer:
             if steps is not None and step not in steps:
                 continue
             payload, _, stats = load_step_checkpoint(fname)
+            if self.stats is None and stats is not None:
+                # serving/eval-from-checkpoint without a dataset: the
+                # normalization statistics ride in every checkpoint
+                # (reference training_statistics, networks.py:708-730)
+                self.stats = stats
+                self._build_jitted()
             ix = step - 1
             if ix < nf and payload["INN_state_dict"]:
                 flow = list(self.params["flow"])

@@ -1,0 +1,100 @@
+"""Streaming reconstruction service tests (engine/serving.py)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cwfa_tpu.engine.serving import ReconstructionService, serve_directory
+
+
+class FakeRecon:
+    """Mock reconstructor: volume = frame mean broadcast (checkable)."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def __call__(self, frames):
+        self.calls += 1
+        m = jnp.mean(jnp.asarray(frames), axis=(1, 2))
+        return jnp.broadcast_to(m[:, None, None, None],
+                                (frames.shape[0], 2, 4, 4)) + 0.0
+
+
+def test_service_batching_padding_and_order():
+    fr = FakeRecon()
+    got = []
+    svc = ReconstructionService(fr, batch_size=4, img_hw=(8, 8),
+                                on_volume=lambda i, v: got.append((i, v)))
+    frames = [np.full((8, 8), float(i), np.float32) for i in range(10)]
+    for i, f in enumerate(frames):
+        svc.submit(f, frame_id=i)
+    out = svc.drain()
+    # 10 frames -> 3 batches (4+4+2 padded to 4)
+    assert fr.calls == 3
+    assert out["frames"] == 10
+    assert out["padded_frames"] == 2
+    assert [i for i, _ in got] == list(range(10))
+    for i, v in got:
+        np.testing.assert_allclose(v, np.full((2, 4, 4), float(i)),
+                                   rtol=1e-6)
+
+
+def test_serve_directory_roundtrip(tmp_path):
+    from cwfa_tpu.data.tiff import read_tiff_stack, write_tiff_stack
+
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        write_tiff_stack(str(in_dir / f"frame_{i}.tif"),
+                         rng.rand(8, 8).astype(np.float32))
+
+    fr = FakeRecon()
+    out = serve_directory(fr, batch_size=2, img_hw=(8, 8),
+                          in_dir=str(in_dir), out_dir=str(out_dir),
+                          verbose=False)
+    assert out["frames"] == 3
+    vols = sorted(os.listdir(out_dir))
+    assert len(vols) == 3
+    v = read_tiff_stack(str(out_dir / vols[0]))
+    assert v.shape == (2, 4, 4)
+
+
+def test_service_with_real_pipeline(tmp_path):
+    """End-to-end: tiny CWFA reconstructor through the service."""
+    from cwfa_tpu.config import CWFAConfig
+    from cwfa_tpu.data.stats import DatasetStatistics
+    from cwfa_tpu.data.views import make_view_indices
+    from cwfa_tpu.engine.inference import XLFMReconstructor
+    from cwfa_tpu.models.cwfa_model import CWFAModel
+
+    nd, view, img = 16, 32, 96
+    cfg = CWFAConfig(n_depths=nd, volume_side_size=view, n_lenslets=4,
+                     INN_max_down_steps=3, INN_n_blocks=2,
+                     INN_internal_chans=8, INN_cond_chans=4).decode_lrs()
+    model = CWFAModel.build(cfg)
+    params, mstate = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    coords = np.array([[24, 24], [24, 72], [72, 24], [72, 72]])
+    vidx = make_view_indices(coords, (img, img), (view, view))
+    caches = [jnp.asarray(rng.randn(
+        1, nd // (2 ** (k + 1)), view, view).astype(np.float32))
+        for k in range(model.n_flow_steps + 1)]
+    stats = DatasetStatistics(10.0, 5.0, 10.0, 5.0, 1.0, 0.5)
+    recon = XLFMReconstructor(model, params, mstate, stats, vidx, caches,
+                              deterministic=True)
+
+    got = {}
+    svc = ReconstructionService(recon, batch_size=2, img_hw=(img, img),
+                                on_volume=lambda i, v: got.__setitem__(i, v))
+    frames = rng.rand(3, img, img).astype(np.float32) * 100
+    for i in range(3):
+        svc.submit(frames[i], frame_id=i)
+    out = svc.drain()
+    assert out["frames"] == 3 and len(got) == 3
+    # service output == direct batched call
+    direct = np.asarray(recon(frames[:2]))
+    np.testing.assert_allclose(got[0], direct[0], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got[1], direct[1], rtol=2e-5, atol=2e-5)
