@@ -38,12 +38,22 @@ def read_tiff_stack(path: str, pages=None) -> np.ndarray:
 
 
 def write_tiff_stack(path: str, stack: np.ndarray):
-    """Write (D, H, W) float32 or uint16 array as a multipage TIFF."""
+    """Write (D, H, W) float32 or uint16 array as a multipage TIFF.
+
+    Uses the native C++ writer (native/tiffio.cpp) when available — PIL
+    serializes ~100 MB volume stacks at host-bound speed, which would
+    bottleneck the streaming service."""
     stack = np.asarray(stack)
     if stack.ndim == 2:
         stack = stack[None]
     if stack.dtype in (np.float64, np.float16):
         stack = stack.astype(np.float32)
+    try:
+        from cwfa_tpu.data.native_tiff import write_tiff_stack_native
+        if write_tiff_stack_native(path, stack):
+            return
+    except Exception:
+        pass
     mode = "F" if stack.dtype == np.float32 else None
     pages = [Image.fromarray(p, mode=mode) for p in stack]
     pages[0].save(path, format="TIFF", save_all=True, append_images=pages[1:])

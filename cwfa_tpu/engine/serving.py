@@ -36,6 +36,7 @@ class ServiceStats:
     padded_frames: int = 0
     t_start: float = field(default_factory=time.perf_counter)
     fetch_seconds: float = 0.0
+    fetch_bytes: int = 0
     batch_latencies: list = field(default_factory=list)
 
     @property
@@ -56,6 +57,12 @@ class ServiceStats:
             "throughput_fps": round(self.throughput_fps, 3),
             "batch_latency_p50_s": round(self.latency_percentile(50), 4),
             "batch_latency_p95_s": round(self.latency_percentile(95), 4),
+            # device->host volume fetch: on an attached TPU host this is
+            # PCIe (GB/s, negligible); through the axon development tunnel
+            # it is an HTTP stream at ~16 MB/s and dominates end-to-end
+            # time (~100 MB/volume). Report it so the two are not conflated.
+            "fetch_seconds": round(self.fetch_seconds, 2),
+            "fetch_bytes": self.fetch_bytes,
         }
 
 
@@ -125,6 +132,7 @@ class ReconstructionService:
         t1 = time.perf_counter()
         host = np.asarray(out)             # device->host fetch (sync point)
         self.stats.fetch_seconds += time.perf_counter() - t1
+        self.stats.fetch_bytes += host.nbytes
         self.stats.batch_latencies.append(time.perf_counter() - t0)
         for i in range(n):
             if self._on_volume is not None:
@@ -134,23 +142,39 @@ class ReconstructionService:
 
 def serve_directory(reconstructor, batch_size, img_hw, in_dir, out_dir,
                     pattern=".tif", poll_seconds: float = 0.0,
-                    limit: int | None = None, verbose: bool = True):
+                    limit: int | None = None, verbose: bool = True,
+                    out_dtype=np.float32):
     """Reconstruct every TIFF frame in a directory (optionally watching for
     new files), writing one volume TIFF per frame — the service-shaped
     version of the reference's per-frame dump loop (CWFA.py:1047-1055).
 
+    Volume writes run on a background thread (bounded queue) so ~100 MB
+    TIFF serialization overlaps the TPU compute instead of adding to it.
+
     Returns the stats summary dict."""
+    import queue
+    import threading
+
     from cwfa_tpu.data.tiff import read_tiff_stack, write_tiff_stack
 
     os.makedirs(out_dir, exist_ok=True)
+    q: "queue.Queue" = queue.Queue(maxsize=2 * batch_size)
 
-    def on_volume(frame_id, vol):
-        write_tiff_stack(
-            os.path.join(out_dir, f"XLFM_stack_{frame_id}.tif"),
-            vol.astype(np.float32))
+    def writer():
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            frame_id, vol = item
+            write_tiff_stack(
+                os.path.join(out_dir, f"XLFM_stack_{frame_id}.tif"),
+                vol.astype(out_dtype))
+
+    wt = threading.Thread(target=writer, daemon=True)
+    wt.start()
 
     svc = ReconstructionService(reconstructor, batch_size, img_hw,
-                                on_volume=on_volume)
+                                on_volume=lambda i, v: q.put((i, v)))
     seen = set()
     done = 0
     while True:
@@ -173,6 +197,8 @@ def serve_directory(reconstructor, batch_size, img_hw, in_dir, out_dir,
             break
         time.sleep(poll_seconds)
     out = svc.drain()
+    q.put(None)
+    wt.join()
     if verbose:
         print(f"served {out['frames']} frames: {out['throughput_fps']} fps, "
               f"p95 batch latency {out['batch_latency_p95_s']} s")

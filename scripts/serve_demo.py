@@ -1,0 +1,81 @@
+"""Flagship-scale streaming-service smoke on TPU: N camera TIFFs in, N
+volume TIFFs out, through the int8 batched pipeline with IO overlapped.
+
+Usage: python scripts/serve_demo.py [n_frames] [batch]
+"""
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from cwfa_tpu.config import CWFAConfig
+    from cwfa_tpu.data.stats import DatasetStatistics
+    from cwfa_tpu.data.tiff import write_tiff_stack
+    from cwfa_tpu.data.views import make_view_indices
+    from cwfa_tpu.engine.inference import XLFMReconstructor
+    from cwfa_tpu.engine.serving import serve_directory
+    from cwfa_tpu.models.cwfa_model import CWFAModel
+
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    cfg = CWFAConfig().decode_lrs()
+    img = 2160
+    model = CWFAModel.build(cfg)
+    params, mstate = model.init(jax.random.PRNGKey(0))
+    stats = DatasetStatistics(100.0, 50.0, 100.0, 50.0, 10.0, 5.0)
+    side = cfg.volume_side_size
+    g = int(np.ceil(np.sqrt(cfg.n_lenslets)))
+    half = side // 2
+    xs = np.linspace(half, img - half, g).astype(np.int64)
+    coords = np.array([(x, y) for x in xs for y in xs][:cfg.n_lenslets])
+    vidx = make_view_indices(coords, (img, img), (side, side))
+    nf = model.n_flow_steps
+    key = jax.random.PRNGKey(1)
+    mean_caches = [jax.random.normal(
+        jax.random.fold_in(key, k),
+        (1, cfg.n_depths // (2 ** (k + 1)), side, side)) for k in range(nf + 1)]
+
+    root = tempfile.mkdtemp(prefix="serve_demo_")
+    in_dir, out_dir = os.path.join(root, "in"), os.path.join(root, "out")
+    os.makedirs(in_dir)
+    rng = np.random.RandomState(0)
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        write_tiff_stack(os.path.join(in_dir, f"frame_{i:04d}.tif"),
+                         (rng.rand(img, img) * 1000).astype(np.float32))
+    print(f"wrote {n_frames} camera frames in "
+          f"{time.perf_counter()-t0:.1f}s", flush=True)
+
+    calib = (rng.rand(2, img, img) * 1000).astype(np.float32)
+    recon = XLFMReconstructor(model, params, mstate, stats, vidx, mean_caches,
+                              deterministic=True, compute_dtype=jnp.bfloat16,
+                              use_int8=True, calib_frames=calib)
+    print("warming up (flagship compile)...", flush=True)
+    recon.warmup(batch, (img, img))
+
+    t0 = time.perf_counter()
+    out = serve_directory(recon, batch, (img, img), in_dir, out_dir,
+                          limit=n_frames)
+    wall = time.perf_counter() - t0
+    n_out = len(os.listdir(out_dir))
+    print(f"end-to-end (read->reconstruct->write): {n_out} volumes in "
+          f"{wall:.1f}s = {n_out/wall:.2f} fps", flush=True)
+    fetch_mbps = out["fetch_bytes"] / max(out["fetch_seconds"], 1e-9) / 1e6
+    compute_s = wall - out["fetch_seconds"]
+    print(f"breakdown: device->host fetch {out['fetch_seconds']:.1f}s "
+          f"({fetch_mbps:.0f} MB/s through the axon tunnel; PCIe on an "
+          f"attached host), everything else {compute_s:.1f}s "
+          f"({n_out/max(compute_s,1e-9):.1f} fps)", flush=True)
+    print(out, flush=True)
+
+
+if __name__ == "__main__":
+    main()
