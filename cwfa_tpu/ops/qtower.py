@@ -55,8 +55,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# conv-input sites, in execution order; index into the (8,) activation-scale
-# vector
+# conv-input sites, in execution order; row index into the (8, C)
+# per-channel activation-scale matrix
 SITES = ("x", "r1", "e2a", "e2", "e4a", "e4", "e6a", "e6")
 
 

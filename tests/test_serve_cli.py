@@ -1,0 +1,63 @@
+"""End-to-end serve-CLI test: save a checkpoint (params + stats + mean
+caches), then serve a directory of camera frames from it with no training
+dataset present."""
+
+import os
+
+import numpy as np
+
+from cwfa_tpu.config import CWFAConfig
+from cwfa_tpu.data import (ConcatXLFMDataset, load_xlfm_data,
+                           make_synthetic_dataset, make_view_indices)
+from cwfa_tpu.data.tiff import read_tiff_stack, write_tiff_stack
+from cwfa_tpu.engine.trainer import CWFATrainer
+from cwfa_tpu.models.cwfa_model import CWFAModel
+
+ND, VOL, VIEW, IMG, NL = 8, 32, 32, 96, 4
+
+
+def test_serve_cli_from_checkpoint(tmp_path):
+    info = make_synthetic_dataset(
+        str(tmp_path / "data"), n_fish=1, n_frames=2, n_depths=ND,
+        vol_side=VOL, img_size=IMG, n_lenslets=NL, view_size=VIEW)
+    ds = load_xlfm_data(
+        info["fish_dirs"][0] + "/SLNet_preprocessed", info["lenslet_file"],
+        vol_shape=(VOL, VOL, ND), img_shape=(IMG, IMG),
+        images_to_use=[0, 1], n_depths_to_fill=ND, ds_id="fish_0")
+    cat = ConcatXLFMDataset(ds)
+    cfg = CWFAConfig(
+        n_depths=ND, volume_side_size=VIEW, n_lenslets=NL,
+        INN_max_down_steps=2, INN_n_blocks=2, INN_internal_chans=4,
+        INN_cond_chans=2, lenslet_file=info["lenslet_file"],
+        save_tiff_volumes=0).decode_lrs()
+    model = CWFAModel.build(cfg)
+    vidx = make_view_indices(ds.lenslet_coords, (IMG, IMG), (VIEW, VIEW))
+    ckpt = str(tmp_path / "ckpt")
+    trainer = CWFATrainer(model, cat.get_statistics(), vidx,
+                          output_path=ckpt)
+    trainer.ensure_mean_caches(cat)
+    trainer.save_checkpoints(epoch=0)
+
+    in_dir, out_dir = tmp_path / "frames", tmp_path / "vols"
+    in_dir.mkdir()
+    rng = np.random.RandomState(1)
+    for i in range(3):
+        write_tiff_stack(str(in_dir / f"cam_{i}.tif"),
+                         (rng.rand(IMG, IMG) * 100).astype(np.float32))
+
+    from cwfa_tpu.cli import serve
+    serve.main([
+        "--pretrain_models_path", ckpt,
+        "--lenslet_file", info["lenslet_file"],
+        "--img_size", str(IMG),
+        "--n_depths", str(ND), "--volume_side_size", str(VIEW),
+        "--INN_max_down_steps", "2", "--INN_n_blocks", "2",
+        "--INN_internal_chans", "4", "--INN_cond_chans", "2",
+        "--in_dir", str(in_dir), "--out_dir", str(out_dir),
+        "--batch", "2", "--no_int8",
+    ])
+    vols = sorted(os.listdir(out_dir))
+    assert len(vols) == 3
+    v = read_tiff_stack(str(out_dir / vols[0]))
+    assert v.shape == (ND, VIEW, VIEW)
+    assert np.isfinite(v).all()
