@@ -35,18 +35,19 @@ def main():
         (1, cfg.n_depths // (2 ** (k + 1)), side, side)) for k in range(nf + 1)]
     dt = jnp.bfloat16 if cfg.use_half_precision else jnp.float32
     frames = jax.random.uniform(key, (batch, img, img), jnp.float32) * 1000
+    use_pallas = "--pallas" in args
     pair = ("hoist" if "--hoist" in args else
             "mid" if "--mid" in args else
             True if "--pair" in args else
             False if "--nopair" in args else "tail")
     recon = XLFMReconstructor(model, params, mstate, stats, vidx, mean_caches,
                               deterministic=True, compute_dtype=dt,
-                              use_int8=use_int8,
+                              use_int8=use_int8, use_pallas=use_pallas,
                               calib_frames=frames if use_int8 else None,
                               pair_input_towers=pair)
     recon.warmup(batch, (img, img))
     fps, _ = recon.throughput(frames, n_repeats=5)
-    print(f"batch={batch} int8={use_int8} pair={pair}: "
+    print(f"batch={batch} int8={use_int8} pair={pair} pallas={use_pallas}: "
           f"{1e3/fps:.2f} ms/frame  fps = {fps:.2f}", flush=True)
 
 

@@ -116,6 +116,30 @@ def test_paired_input_towers_match_per_step():
                                    err_msg=f"mode={mode}")
 
 
+def test_multi_sample_averaging():
+    """n_samples>1 (reference CWFA.py:904,913-914): at temperature 0 the
+    averaged samples are identical, so the result equals n_samples=1; at
+    temperature>0 the path must run and stay finite."""
+    cfg = _cfg()
+    model, params, mstate, vidx, caches, stats, frames = _setup(cfg)
+    views = extract_views(frames, vidx)
+    views_n = ((views - stats.mean_imgs) / stats.std_imgs).astype(jnp.float32)
+    b = frames.shape[0]
+    mcs = [jnp.broadcast_to(c, (b,) + c.shape[1:]) for c in caches]
+    v1 = model.reconstruct(params, mstate, views_n, mcs, z_temperature=0.0,
+                           rng=None, train=False, lrnn_train=False,
+                           n_samples=1)
+    v2 = model.reconstruct(params, mstate, views_n, mcs, z_temperature=0.0,
+                           rng=None, train=False, lrnn_train=False,
+                           n_samples=2)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                               rtol=2e-5, atol=2e-5)
+    vt = model.reconstruct(params, mstate, views_n, mcs, z_temperature=0.5,
+                           rng=jax.random.PRNGKey(3), train=False,
+                           lrnn_train=False, n_samples=2)
+    assert np.isfinite(np.asarray(vt)).all()
+
+
 def test_mean_branch_is_frame_independent():
     """The branch only depends on the mean cache, not on frames/batch."""
     cfg = _cfg()
