@@ -88,6 +88,11 @@ def main(argv=None):
                       for n in names]
             calib = np.stack([f[0] if f.ndim == 3 else f
                               for f in frames]).astype(np.float32)
+        else:
+            print("warning: no frames in --in_dir to calibrate int8 on; "
+                  "serving with the (slower) f32 UNet path. Pre-place a "
+                  "couple of frames or pass --no_int8 to silence this.",
+                  flush=True)
     recon = XLFMReconstructor(
         model, trainer.params, trainer.mstate, trainer.stats, vidx,
         mean_caches, deterministic=True, compute_dtype=compute_dtype,

@@ -47,12 +47,19 @@ def load_psf(source, depths_to_use=-1, interleaved: bool = True) -> np.ndarray:
                 psf = np.transpose(loadmat(source)["PSF"], (2, 0, 1))
             except (NotImplementedError, ValueError):
                 # MATLAB v7.3 .mat files are HDF5 (reference utils.py:564-568
-                # falls back the same way)
+                # falls back the same way). MATLAB stores arrays
+                # column-major, so an (H, W, D) MATLAB array reads back as
+                # (D, W, H) — undo that to match the loadmat path's
+                # (D, H, W). (The reference uses the h5py array as-is,
+                # silently transposing every depth plane of a v7.3 PSF —
+                # see docs/PARITY.md.)
                 import h5py
                 with h5py.File(source, "r") as f:
                     psf = np.asarray(f["PSF"][:], np.float32)
+                psf = np.transpose(psf, (0, 2, 1))
         elif source.endswith((".h5", ".hdf5")):
-            # reference utils.py:566-568: h5py.File(...)['PSF'][:]
+            # plain HDF5 written row-major (Python convention): (D, H, W)
+            # as-is, like the reference's utils.py:566-568 fallback
             import h5py
             with h5py.File(source, "r") as f:
                 psf = np.asarray(f["PSF"][:], np.float32)

@@ -98,11 +98,16 @@ class ReconstructionService:
         if len(self._buf) >= self._bs:
             self._flush()
 
-    def drain(self):
-        """Flush any partial batch and wait for all results."""
+    def flush_partial(self):
+        """Dispatch a padded partial batch now (watch-mode idle flush: tail
+        frames must not wait for the batch to fill)."""
         if self._buf:
             self._flush()
         self._collect()
+
+    def drain(self):
+        """Flush any partial batch and wait for all results."""
+        self.flush_partial()
         return self.stats.summary()
 
     close = drain
@@ -159,30 +164,49 @@ def serve_directory(reconstructor, batch_size, img_hw, in_dir, out_dir,
 
     os.makedirs(out_dir, exist_ok=True)
     q: "queue.Queue" = queue.Queue(maxsize=2 * batch_size)
+    writer_error: list = []
 
     def writer():
         while True:
             item = q.get()
             if item is None:
                 return
+            if writer_error:               # already failed: drain and drop
+                continue
             frame_id, vol = item
-            write_tiff_stack(
-                os.path.join(out_dir, f"XLFM_stack_{frame_id}.tif"),
-                vol.astype(out_dtype))
+            try:
+                write_tiff_stack(
+                    os.path.join(out_dir, f"XLFM_stack_{frame_id}.tif"),
+                    vol.astype(out_dtype))
+            except Exception as e:         # surface on the main thread —
+                writer_error.append(e)     # a dead writer would deadlock
+                                           # the bounded queue silently
 
     wt = threading.Thread(target=writer, daemon=True)
     wt.start()
 
+    def enqueue(i, v):
+        if writer_error:
+            raise RuntimeError("volume writer failed") from writer_error[0]
+        q.put((i, v))
+
     svc = ReconstructionService(reconstructor, batch_size, img_hw,
-                                on_volume=lambda i, v: q.put((i, v)))
+                                on_volume=enqueue)
     seen = set()
     done = 0
     while True:
         names = sorted(f for f in os.listdir(in_dir)
                        if f.endswith(pattern) and f not in seen)
+        progressed = False
         for name in names:
+            try:
+                stack = read_tiff_stack(os.path.join(in_dir, name))
+            except Exception:
+                # partially-written file (camera still flushing): leave it
+                # un-seen and retry on the next poll
+                continue
             seen.add(name)
-            stack = read_tiff_stack(os.path.join(in_dir, name))
+            progressed = True
             if stack.ndim == 2:
                 stack = stack[None]
             for page in stack:
@@ -195,10 +219,16 @@ def serve_directory(reconstructor, batch_size, img_hw, in_dir, out_dir,
                 break
         if (limit and done >= limit) or not poll_seconds:
             break
+        if not progressed:
+            # idle poll: flush a partial batch so tail frames don't wait
+            # indefinitely for the batch to fill
+            svc.flush_partial()
         time.sleep(poll_seconds)
     out = svc.drain()
     q.put(None)
     wt.join()
+    if writer_error:
+        raise RuntimeError("volume writer failed") from writer_error[0]
     if verbose:
         print(f"served {out['frames']} frames: {out['throughput_fps']} fps, "
               f"p95 batch latency {out['batch_latency_p95_s']} s")

@@ -436,11 +436,14 @@ class CWFATrainer:
                     for j, ix in enumerate(ixs):
                         self.upsampled_cache[ix] = recon[j:j + 1]
                 self.log.add(f"loss_LL/step_{k}", nll, epoch)
-            losses.append(float(loss))
-            if not np.isfinite(losses[-1]):
+            losses.append((float(loss), len(ixs)))
+            if not np.isfinite(losses[-1][0]):
                 raise ValueError(f"Nan/Inf loss found in {tag} at epoch "
                                  f"{epoch}, batch {ixs} (CWFA.py:989-994)")
-        mean_loss = float(np.mean(losses))
+        # per-SAMPLE mean: ragged tail batches must not be over-weighted
+        # relative to the reference's sample-by-sample loop (CWFA.py:789)
+        tot = sum(n for _, n in losses)
+        mean_loss = float(sum(l * n for l, n in losses) / max(tot, 1))
         self.log.add(f"fine_tune/loss/{tag}", mean_loss, epoch)
         self.log.add("step_to_optimize", stage, epoch)
         return mean_loss

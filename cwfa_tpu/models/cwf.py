@@ -242,10 +242,11 @@ def input_tower_s_raw(step_specs, flow_params, c_views_list, pair=True):
     while i < nf:
         # True: pair greedily from step 0.  "tail": only the last two
         # steps (the small towers — pairing the big step-0/1 towers
-        # regresses the full pipeline, docs/PERFORMANCE.md).  "mid": steps
-        # 1+2, leaving 0 and nf-1 single.
+        # regresses the full pipeline, docs/PERFORMANCE.md); needs nf >= 3,
+        # else "tail" would pair exactly the big towers it exists to avoid.
+        # "mid": steps 1+2, leaving 0 and nf-1 single.
         do_pair = (pair is True and i + 1 < nf) or \
-                  (pair == "tail" and i + 1 == nf - 1) or \
+                  (pair == "tail" and i + 1 == nf - 1 and nf >= 3) or \
                   (pair == "mid" and i == 1 and i + 1 < nf)
         if do_pair:
             oa, ob = paired_tower_concat(

@@ -231,7 +231,13 @@ def quantized_pair_tower_reference(qw, scales, xq):
     deq = lambda acc, swrow, brow: (
         acc.astype(jnp.float32) * swrow[None, :, None, None]
         + brow[None, :, None, None])
-    elu = jax.nn.elu
+
+    def elu(v):
+        # the SAME exp(v)-1 form as the kernel (Pallas TPU lacks expm1):
+        # jax.nn.elu here would disagree with the kernel by up to ~6e-8 near
+        # 0, enough to flip an int8 round() on unlucky values
+        return jnp.where(v > 0, v, jnp.exp(jnp.minimum(v, 0.0)) - 1.0)
+
     # residual canvases round-trip through bf16, matching the kernel's
     # VMEM-budget canvas dtype exactly
     bf = lambda v: v.astype(jnp.bfloat16)

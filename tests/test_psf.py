@@ -43,17 +43,27 @@ def test_load_psf_h5(psf_np, tmp_path):
 
 def test_load_psf_mat_v73(psf_np, tmp_path):
     """MATLAB v7.3 .mat files are HDF5; scipy raises NotImplementedError and
-    the loader falls back to h5py (reference utils.py:564-568)."""
+    the loader falls back to h5py (reference utils.py:564-568).  MATLAB
+    stores (H, W, D) column-major, so h5py reads (D, W, H); the loader must
+    reorient to the loadmat path's (D, H, W) — write the dataset the way
+    MATLAB would and check plane-level equality against the array."""
     h5py = pytest.importorskip("h5py")
     p = str(tmp_path / "psf_v73.mat")
+    # make H/W distinguishable per depth plane
+    asym = psf_np.copy()
+    asym[:, 0, :] *= 3.0
     with h5py.File(p, "w", userblock_size=512) as f:
-        f["PSF"] = psf_np
+        # MATLAB's column-major (H, W, D) appears to h5py as (D, W, H)
+        f["PSF"] = np.transpose(asym, (0, 2, 1))
     # stamp the MATLAB 7.3 userblock header so scipy detects-and-rejects it:
     # 116 bytes description + 8 bytes subsys offset + version 0x0200 + 'IM'
     with open(p, "r+b") as f:
         f.write(b"MATLAB 7.3 MAT-file" + b" " * 97 + b"\x00" * 8
                 + b"\x00\x02IM")
-    _check(load_psf(p))
+    got = load_psf(p)
+    _check(got)
+    want = asym / asym.sum(axis=(-2, -1), keepdims=True)
+    np.testing.assert_allclose(got[0], want, rtol=1e-5)
 
 
 def test_load_psf_depth_subsample(psf_np, tmp_path):

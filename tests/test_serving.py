@@ -62,6 +62,43 @@ def test_serve_directory_roundtrip(tmp_path):
     assert v.shape == (2, 4, 4)
 
 
+def test_flush_partial_emits_waiting_frames():
+    """Watch-mode idle flush: a sub-batch must not wait for the batch to
+    fill."""
+    fr = FakeRecon()
+    got = []
+    svc = ReconstructionService(fr, batch_size=4, img_hw=(8, 8),
+                                on_volume=lambda i, v: got.append(i))
+    svc.submit(np.zeros((8, 8), np.float32), frame_id="a")
+    assert got == []                      # buffered, batch not full
+    svc.flush_partial()
+    assert got == ["a"]
+    assert svc.stats.padded_frames == 3
+
+
+def test_writer_failure_surfaces(tmp_path, monkeypatch):
+    """A failing volume write must raise, not silently deadlock the
+    bounded writer queue."""
+    import cwfa_tpu.data.tiff as tiffmod
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    from cwfa_tpu.data.tiff import write_tiff_stack
+    for i in range(4):
+        write_tiff_stack(str(in_dir / f"f{i}.tif"),
+                         np.zeros((8, 8), np.float32))
+
+    def boom(path, stack):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(tiffmod, "write_tiff_stack", boom)
+    import pytest
+    with pytest.raises(RuntimeError, match="volume writer failed"):
+        serve_directory(FakeRecon(), batch_size=2, img_hw=(8, 8),
+                        in_dir=str(in_dir), out_dir=str(tmp_path / "out"),
+                        verbose=False)
+
+
 def test_service_with_real_pipeline(tmp_path):
     """End-to-end: tiny CWFA reconstructor through the service."""
     from cwfa_tpu.config import CWFAConfig
