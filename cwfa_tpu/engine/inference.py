@@ -27,7 +27,7 @@ class XLFMReconstructor:
                  mesh=None, deterministic: bool = False,
                  compute_dtype=jnp.float32, use_pallas: bool = False,
                  use_int8: bool = False, calib_frames=None,
-                 pair_input_towers="tail",
+                 pair_input_towers="mid",
                  use_int8_towers: bool = False):
         self.model = model
         self.stats = stats

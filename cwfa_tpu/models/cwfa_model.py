@@ -191,7 +191,7 @@ class CWFAModel:
                     lrnn_train: bool | None = None,
                     n_samples: int = 1, return_pyramid: bool = False,
                     fast: bool = False, lrnn_mean_branch=None, qpacks=None,
-                    pair_input_towers="tail", unet_q=None):
+                    pair_input_towers="mid", unet_q=None):
         """Full generative chain (CWFA.py:865-927): LRNN at the coarsest
         level, then invert flow steps k = n-1..0, doubling depth each time.
 

@@ -108,7 +108,7 @@ def test_paired_input_towers_match_per_step():
               lrnn_train=False, n_samples=cfg.INN_n_samples)
     v_plain = model.reconstruct(params, mstate, views_n, mcs,
                                 pair_input_towers=False, **kw)
-    for mode in (True, "tail", "hoist"):
+    for mode in (True, "tail", "mid", "hoist"):
         v_m = model.reconstruct(params, mstate, views_n, mcs,
                                 pair_input_towers=mode, **kw)
         np.testing.assert_allclose(np.asarray(v_m), np.asarray(v_plain),
