@@ -82,8 +82,20 @@ class ReconstructionService:
         self._img_hw = tuple(img_hw)
         self._on_volume = on_volume
         self._buf: list[tuple[object, np.ndarray]] = []
+        self._buf_since: float | None = None   # when _buf went non-empty
         self._inflight = None         # (device_out, ids, n_valid, t_enqueue)
         self.stats = ServiceStats()
+
+    @property
+    def pending(self) -> int:
+        """Frames buffered but not yet dispatched."""
+        return len(self._buf)
+
+    def pending_age(self) -> float:
+        """Seconds since the oldest buffered frame arrived (0.0 if none)."""
+        if self._buf_since is None:
+            return 0.0
+        return time.perf_counter() - self._buf_since
 
     # ------------------------------------------------------------------ api
     def submit(self, frame, frame_id=None):
@@ -94,6 +106,8 @@ class ReconstructionService:
         if frame_id is None:
             frame_id = self.stats.frames_in
         self.stats.frames_in += 1
+        if not self._buf:
+            self._buf_since = time.perf_counter()
         self._buf.append((frame_id, frame))
         if len(self._buf) >= self._bs:
             self._flush()
@@ -116,6 +130,7 @@ class ReconstructionService:
     def _flush(self):
         batch = self._buf[:self._bs]
         self._buf = self._buf[self._bs:]
+        self._buf_since = time.perf_counter() if self._buf else None
         n = len(batch)
         frames = np.zeros((self._bs,) + self._img_hw, np.float32)
         for i, (_, f) in enumerate(batch):
@@ -219,9 +234,13 @@ def serve_directory(reconstructor, batch_size, img_hw, in_dir, out_dir,
                 break
         if (limit and done >= limit) or not poll_seconds:
             break
-        if not progressed:
-            # idle poll: flush a partial batch so tail frames don't wait
-            # indefinitely for the batch to fill
+        # Flush a partial batch on a fully idle poll, OR when buffered frames
+        # have waited longer than one poll interval: a steady trickle slower
+        # than batch_size (e.g. one file per poll at batch 8) keeps
+        # ``progressed`` True every iteration and would otherwise hold tail
+        # frames for up to batch_size polls.
+        if not progressed or (svc.pending and
+                              svc.pending_age() > poll_seconds):
             svc.flush_partial()
         time.sleep(poll_seconds)
     out = svc.drain()

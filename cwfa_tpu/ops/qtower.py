@@ -199,8 +199,13 @@ def pair_tower_calibrate(paired_params, x, margin: float = 1.0):
 
 
 def _q(v, s_row):
-    """Per-channel symmetric int8 quantization, NCHW."""
-    return jnp.clip(jnp.round(v / s_row[None, :v.shape[1], None, None]),
+    """Per-channel symmetric int8 quantization, NCHW.
+
+    Multiplies by the precomputed f32 reciprocal — the SAME rounding input
+    the kernel and ``quantize_input`` use; dividing by the scale instead can
+    differ by 1 ulp at a round() boundary and flip an int8 level."""
+    inv = (1.0 / s_row[:v.shape[1]]).astype(jnp.float32)
+    return jnp.clip(jnp.round(v * inv[None, :, None, None]),
                     -127, 127).astype(jnp.int8)
 
 

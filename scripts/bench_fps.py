@@ -39,7 +39,8 @@ def main():
     pair = ("hoist" if "--hoist" in args else
             "mid" if "--mid" in args else
             True if "--pair" in args else
-            False if "--nopair" in args else "tail")
+            "tail" if "--tail" in args else
+            False if "--nopair" in args else "mid")
     recon = XLFMReconstructor(model, params, mstate, stats, vidx, mean_caches,
                               deterministic=True, compute_dtype=dt,
                               use_int8=use_int8, use_pallas=use_pallas,

@@ -51,7 +51,7 @@ def test_depthbatch_matches_direct_eval():
                     .randn(2, 5, 12, 12).astype(np.float32))
     direct = cond_network(params, x, conv3d_impl="direct")
     db = cond_network(params, x, conv3d_impl="depthbatch")
-    auto = cond_network(params, x)          # D=24 -> auto picks depthtile
+    auto = cond_network(params, x)          # auto always picks depthbatch
     np.testing.assert_allclose(np.asarray(db), np.asarray(direct),
                                atol=2e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(auto), np.asarray(direct),

@@ -32,9 +32,11 @@ def setup():
 
 
 def _qin_nchw(x, scales):
-    return jnp.clip(
-        jnp.round(x / scales[0, :x.shape[1]][None, :, None, None]),
-        -127, 127).astype(jnp.int8)
+    # multiply by the precomputed reciprocal, matching quantize_input and
+    # the kernel exactly (division can differ by 1 ulp at round() boundaries)
+    inv = (1.0 / scales[0, :x.shape[1]]).astype(jnp.float32)
+    return jnp.clip(jnp.round(x * inv[None, :, None, None]),
+                    -127, 127).astype(jnp.int8)
 
 
 def test_kernel_matches_oracle(setup):
