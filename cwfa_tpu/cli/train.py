@@ -26,7 +26,18 @@ import numpy as np
 from cwfa_tpu.config import CWFAConfig
 from cwfa_tpu.data import (ConcatXLFMDataset, load_xlfm_data,
                            make_view_indices)
+from cwfa_tpu.data import splits
 from cwfa_tpu.data.dataset import read_lenslet_centers
+
+
+def _count_frames(path: str) -> int:
+    """Pages in the dataset's image stack (0 if unreadable)."""
+    try:
+        from cwfa_tpu.data.tiff import count_tiff_pages
+        return count_tiff_pages(
+            os.path.join(path, "XLFM_image", "XLFM_image_stack.tif"))
+    except Exception:
+        return 0
 from cwfa_tpu.engine.ood import detect_ood
 from cwfa_tpu.engine.trainer import CWFATrainer
 from cwfa_tpu.models.cwfa_model import CWFAModel
@@ -99,22 +110,45 @@ def main(argv=None):
     def load_group(names, images):
         dss = []
         for name in names:
+            n_avail = _count_frames(paths[name])
+            use = splits.clamp_indices(images, n_avail) if n_avail else images
             dss.append(load_xlfm_data(
                 paths[name], cfg.lenslet_file, vol_shape=vol_shape,
-                img_shape=img_shape, images_to_use=images,
+                img_shape=img_shape, images_to_use=use,
                 n_depths_to_fill=cfg.n_depths, ds_id=name,
                 volume_ths=tuple(cfg.volume_ths),
                 volume_quantiles=tuple(cfg.quantile_ths),
-                img_ths=tuple(cfg.images_ths)))
+                img_ths=tuple(cfg.images_ths),
+                norm=cfg.volume_norm_func))
         return ConcatXLFMDataset(*dss)
 
-    n_imgs = args.max_samples or (
-        cfg.images_to_use if isinstance(cfg.images_to_use, int) else
-        len(cfg.images_to_use))
-    imgs = list(range(int(n_imgs)))
-    train_ds = load_group(group["train"], imgs)
-    val_ds = load_group(group["val"], imgs[: max(len(imgs) // 2, 1)])
-    test_ds = load_group(group["test"], imgs)
+    # --- frame-index resolution (reference main.py:195-233 semantics:
+    # interleaved-stride train sampling, test/val windows from frame 500) ---
+    ratio = (len(group.get("train", [1])) and
+             len(groups.get(0, group)["train"]) / len(group["train"]))
+    if args.max_samples:
+        train_idx = list(range(int(args.max_samples)))
+        eval_idx = list(range(max(int(args.max_samples) // 2, 1)))
+        test_idx = train_idx
+    else:
+        train_idx = splits.resolve_train_indices(
+            cfg.images_to_use, cv=cv, n_datasets=len(group["train"]),
+            group_ratio=ratio)
+        eval_idx = splits.resolve_eval_indices(
+            cfg.images_to_use_fine_tune_val, cv=cv,
+            n_datasets_test=len(group["test"]),
+            group0_train_len=len(groups.get(0, group)["train"]))
+        test_idx = splits.resolve_eval_indices(
+            cfg.images_to_use_test, cv=cv,
+            n_datasets_test=len(group["test"]),
+            group0_train_len=len(groups.get(0, group)["train"]))
+    train_ds = load_group(group["train"], train_idx)
+    # finetune-val frames come from the TRAIN folders unless
+    # --evaluation_dataset test (reference main.py:293-294)
+    val_src = group["train"] if cfg.evaluation_dataset == "train" \
+        else group["test"]
+    val_ds = load_group(val_src, eval_idx)
+    test_ds = load_group(group["test"], test_idx)
 
     stats = train_ds.get_statistics()
     coords = read_lenslet_centers(cfg.lenslet_file) + 50
@@ -123,15 +157,40 @@ def main(argv=None):
     cfg = dataclasses.replace(cfg, n_lenslets=len(coords))
 
     model = CWFAModel.build(cfg)
-    out = os.path.join(cfg.output_testing_path,
-                       datetime.now().strftime("%Y_%m_%d__%H_%M_%S"))
+    # run-dir naming with the evaluation prefix (reference main.py:165-168,
+    # 356: default prefix CV{fold}_{temperature}T, 'test_set__' marker when
+    # evaluating on the test folders)
+    prefix = cfg.evaluation_prefix or f"CV{cv}_{cfg.INN_z_temperature}T"
+    cfg = dataclasses.replace(cfg, evaluation_prefix=prefix)
+    marker = "test_set__" if cfg.evaluation_dataset == "test" else ""
+    out = os.path.join(
+        cfg.output_testing_path,
+        f"{datetime.now().strftime('%Y_%m_%d__%H_%M_%S')}_{marker}"
+        f"{cfg.epochs}E_{prefix}_")
     trainer = CWFATrainer(model, stats, vidx, output_path=out)
     counts = model.param_counts(trainer.params)
     print(f"nParameters: WF: {counts['WF']}\tOmega: {counts['Omega']}\t"
           f"LRNN: {counts['LRNN']}\t\ttotal: {sum(counts.values())}")
 
-    if cfg.pretrain_models_path:
-        loaded = trainer.load_checkpoints(cfg.pretrain_models_path,
+    pretrain_path = cfg.pretrain_models_path
+    if cfg.load_pretrained_networks and not pretrain_path:
+        # --load_pretrained_networks: resolve a pretrained run directory by
+        # convention.  The reference hard-codes per-CV-fold run paths under
+        # pretrained_networks/ (main.py:115-131); here the newest run dir
+        # under pretrained_networks/ whose name contains CV{cv} wins, falling
+        # back to the newest run dir.
+        runs_dir = "pretrained_networks"
+        cands = sorted(d for d in glob.glob(os.path.join(runs_dir, "*"))
+                       if os.path.isdir(d))
+        tagged = [d for d in cands if f"CV{cv}" in os.path.basename(d)]
+        pick = (tagged or cands)[-1:]
+        if pick:
+            pretrain_path = pick[0]
+            print(f"load_pretrained_networks: using {pretrain_path}")
+        else:
+            print(f"load_pretrained_networks: no runs under {runs_dir}/")
+    if pretrain_path:
+        loaded = trainer.load_checkpoints(pretrain_path,
                                           steps=list(
                                               cfg.fine_tune_load_checkpoints)
                                           or None)

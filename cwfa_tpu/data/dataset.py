@@ -174,6 +174,42 @@ class ConcatXLFMDataset:
         return self.datasets[dataset_ix].vols.mean(0, keepdims=True)
 
 
+def apply_volume_norm(vols: np.ndarray, norm, volume_ths) -> np.ndarray:
+    """The reference's volume normalization family
+    (``--volume_norm_func`` -> utils.py:128-184 load_process_volume):
+
+    - norm='std': standardize the whole volume stack by its own mean/std
+      (torch.std_mean uses the unbiased estimator);
+    - norm='max': divide by the stack max, then zero voxels below the
+      threshold.  The reference compares against ``volume_ths`` directly
+      (utils.py:174-175) which only works for a scalar; for the default
+      2-tuple the lower bound is used (documented generalization);
+    - norm=None: two-sided absolute thresholding (the default path,
+      utils.py:177-182).
+    """
+    if norm == "std":
+        mean = float(vols.mean())
+        std = float(vols.std(ddof=1)) or 1.0
+        return (vols - mean) / std
+    if norm == "max":
+        mx = float(vols.max()) or 1.0
+        out = vols / mx
+        ths = (float(volume_ths[0]) if hasattr(volume_ths, "__len__")
+               else float(volume_ths))
+        out[out < ths] = 0
+        return out
+    if norm is not None:
+        raise ValueError(f"unknown volume_norm_func {norm!r} "
+                         "(expected None, 'std' or 'max')")
+    if hasattr(volume_ths, "__len__") and len(volume_ths) == 2:
+        vols[vols < volume_ths[0]] = 0
+        vols[vols >= volume_ths[1]] = volume_ths[1]
+    elif not hasattr(volume_ths, "__len__"):
+        # scalar form: zero below ths*max (utils.py:178-179)
+        vols[vols <= float(volume_ths) * vols.max()] = 0
+    return vols
+
+
 def load_xlfm_data(dataset_path, lenslet_coords_file, vol_shape, img_shape,
                    images_to_use, n_depths_to_fill, ds_id="",
                    volume_ths=(0.0, 20000), volume_quantiles=(0, 0.99999),
@@ -188,9 +224,7 @@ def load_xlfm_data(dataset_path, lenslet_coords_file, vol_shape, img_shape,
     side = (vol_shape[0], vol_shape[1])
     if ds.vols.ndim == 4 and ds.vols.shape[-2:] != side:
         ds.vols = np.stack([_center_crop_vol_spatial(v, side) for v in ds.vols])
-    if norm is None and len(volume_ths) == 2:
-        ds.vols[ds.vols < volume_ths[0]] = 0
-        ds.vols[ds.vols >= volume_ths[1]] = volume_ths[1]
+    ds.vols = apply_volume_norm(ds.vols, norm, volume_ths)
     if volume_quantiles[1] != 1:
         ds.vols = clip_volume_quantile(ds.vols, volume_quantiles[1])
     ds.stacked_views = threshold_images(ds.stacked_views, img_ths[0])

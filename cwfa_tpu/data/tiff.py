@@ -37,6 +37,12 @@ def read_tiff_stack(path: str, pages=None) -> np.ndarray:
     return np.stack(out)
 
 
+def count_tiff_pages(path: str) -> int:
+    """Number of pages in a multipage TIFF (cheap: header walk only)."""
+    im = Image.open(path)
+    return int(getattr(im, "n_frames", 1))
+
+
 def write_tiff_stack(path: str, stack: np.ndarray):
     """Write (D, H, W) float32 or uint16 array as a multipage TIFF.
 

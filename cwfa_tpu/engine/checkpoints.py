@@ -57,9 +57,15 @@ def save_step_checkpoint(path: str, step: int, epoch: int, cfg: CWFAConfig,
     return fname
 
 
-def discover_checkpoints(path: str, prefix: str = "model_step_*__ep_*"):
+def discover_checkpoints(path: str, prefix: str = "model_step_*__ep_*",
+                         max_epoch: int | None = None):
     """Highest-epoch checkpoint per step (reference load_INN_steps,
-    networks.py:732-756). Returns {step: (epoch, filename)}."""
+    networks.py:732-756). Returns {step: (epoch, filename)}.
+
+    max_epoch: discovery epoch cap (--max_test_load_epoch).  The reference
+    ACCEPTS this flag but never consumes it (main.py:89 is its only
+    occurrence); here it is honored as the evident intent — checkpoints
+    with epoch > max_epoch are ignored (documented divergence)."""
     files = glob.glob(os.path.join(path, prefix))
     best = {}
     for m in files:
@@ -67,6 +73,8 @@ def discover_checkpoints(path: str, prefix: str = "model_step_*__ep_*"):
         if len(nums) < 2:
             continue
         step, ep = int(nums[0]), int(nums[1])
+        if max_epoch is not None and ep > max_epoch:
+            continue
         if step not in best or ep > best[step][0]:
             best[step] = (ep, m)
     return best

@@ -40,13 +40,23 @@ def detect_ood(trainer: CWFATrainer, dataset: ConcatXLFMDataset,
     step = cfg.step_LL_to_use if step_ll_to_use is None else step_ll_to_use
     ths = cfg.step_LL_ths_to_use if threshold is None else threshold
     trainer.ensure_mean_caches(dataset)
-    nlls = []
-    for ix in range(len(dataset)):
-        _, vol, _ = trainer._sample_inputs(dataset, ix)
-        per_step, _, _, _ = trainer._pyramid(trainer.params, vol,
+    # batched scoring: frames go through the jitted forward pyramid in
+    # cfg.batch_size mini-batches with per-sample NLLs (the reference's
+    # batch-1 loop, CWFA.py:789+134, honors no batch size)
+    nll_by_ix = {}
+    for di, ixs in trainer._batches(dataset):
+        vols = []
+        for ix in ixs:
+            _, vol, _ = trainer._sample_inputs(dataset, ix)
+            vols.append(vol)
+        batch = vols[0] if len(vols) == 1 else np.concatenate(
+            [np.asarray(v) for v in vols])
+        per_step, _, _, _ = trainer._pyramid(trainer.params, batch,
                                              trainer._next_key())
-        nlls.append(np.asarray(per_step))
-    nlls = np.stack(nlls)
+        per_step = np.asarray(per_step)           # (nf, B)
+        for j, ix in enumerate(ixs):
+            nll_by_ix[ix] = per_step[:, j]
+    nlls = np.stack([nll_by_ix[ix] for ix in range(len(dataset))])
     scores = nlls[:, step]
     return OODResult(nll_per_frame=nlls, scores=scores,
                      is_ood=scores > ths, threshold=ths, step_used=step)
@@ -68,6 +78,7 @@ def finetune_on_novel(trainer: CWFATrainer, dataset: ConcatXLFMDataset,
     # novel data invalidates the stage-handoff and GT-pyramid caches
     trainer.upsampled_cache = {}
     trainer.gt_cache["train"] = {}
+    trainer.nll_cache["train"] = {}
     eps = max(cfg.epochs // n_steps, 1)
     # coarsest selected step first (the reference's epoch schedule order);
     # base_epoch = (n_steps - s)*eps makes stage_for_epoch land on stage s-1

@@ -326,7 +326,12 @@ def _cat_block_st(spec: CWFStepSpec, params, c_views, raw: bool = False,
         if raw:
             st.append((s_raw, t))
         else:
-            st.append((spec.clamp * fcl(s_raw.astype(jnp.float32)), t))
+            # clamp in the COMPUTE dtype: at bf16 inference the ATAN runs on
+            # half the bytes (the exp consumer re-rounds to bf16 anyway, so
+            # reconstruction numerics are unchanged); f32 paths (tests,
+            # training parity) still clamp in f32.  logdet consumers
+            # accumulate in f32 (_cat_chain).
+            st.append(((spec.clamp * fcl(s_raw)).astype(s_raw.dtype), t))
     return st
 
 
@@ -382,7 +387,8 @@ def _cat_chain(spec: CWFStepSpec, params, x, c_views, rev: bool, qpack=None):
             x = _apply_perm(spec.perms[nn - 1], x, inverse=False)
             s, t = st[nn - 1]
             x = jnp.exp(s.astype(x.dtype)) * x + t
-            logdet = logdet + jnp.sum(s, axis=tuple(range(1, s.ndim)))
+            logdet = logdet + jnp.sum(s.astype(jnp.float32),
+                                      axis=tuple(range(1, s.ndim)))
         if spec.use_final_perm:
             x = _apply_perm(spec.perms[spec.n_blocks], x, inverse=False)
     else:
@@ -391,7 +397,8 @@ def _cat_chain(spec: CWFStepSpec, params, x, c_views, rev: bool, qpack=None):
         for nn in range(spec.n_blocks, 0, -1):
             s, t = st[nn - 1]
             x = (x - t) * jnp.exp(-s.astype(x.dtype))
-            logdet = logdet - jnp.sum(s, axis=tuple(range(1, s.ndim)))
+            logdet = logdet - jnp.sum(s.astype(jnp.float32),
+                                      axis=tuple(range(1, s.ndim)))
             x = _apply_perm(spec.perms[nn - 1], x, inverse=True)
     return x, logdet
 
@@ -499,9 +506,10 @@ def cwf_step_reverse(spec: CWFStepSpec, params, z, avg, c_views, c_mean,
     if (input_s_raw is not None and spec.block_type == "CAT"
             and not spec.disable_low_res_input):
         # input CAT from the precomputed tower output: s = clamp(f(s_raw)),
-        # t = -c_mean/sqrt(2) (flow/subnets.wavelet_flow_subnet2d_first)
+        # t = -c_mean/sqrt(2) (flow/subnets.wavelet_flow_subnet2d_first);
+        # clamp in the compute dtype (see _cat_block_st)
         fcl = fc.clamp_fn(spec.clamp_activation)
-        s = (spec.clamp * fcl(input_s_raw.astype(jnp.float32))).astype(x.dtype)
+        s = (spec.clamp * fcl(input_s_raw)).astype(x.dtype)
         t = -c_mean * jnp.asarray(fs._SQRT2_INV, x.dtype)
         x = (x - t) * jnp.exp(-s)
         logdet = logdet - jnp.sum(s.astype(jnp.float32),

@@ -113,7 +113,8 @@ class CWFAModel:
         return params, state
 
     # ------------------------------------------------------------- forward
-    def forward_pyramid(self, params, gt_volume, mean_caches=None):
+    def forward_pyramid(self, params, gt_volume, mean_caches=None,
+                        per_sample: bool = False):
         """evaluate_INN_forward (CWFA.py:134-196): run all flow steps in the
         normalizing direction with ZERO conditions (the reference's forward
         pyramid is unconditional in effect, CWFA.py:167-177; extra_cond_in is
@@ -121,6 +122,11 @@ class CWFAModel:
 
         Returns (nll_per_step, gt_cache, prior_errors, log_jacobians) where
         gt_cache[k] is the pyramid volume at level k (gt_cache[0] = input).
+
+        per_sample=True returns (B,)-shaped per-frame NLLs (the quantities
+        the batched eval/OOD paths threshold); the reference runs batch 1
+        where the two are identical — (0.5*||Z_i||^2 - logdet_i) /
+        (numel(Z[-1]) / B) reduces to the CWFA.py:189-192 expression.
         """
         b = gt_volume.shape[0]
         hw = gt_volume.shape[2:]
@@ -137,13 +143,20 @@ class CWFAModel:
             z, avg, logdet = cwf_step_forward(spec, params["flow"][k], v,
                                               c_views, c_mean)
             zf = z.astype(jnp.float32)
-            prior = 0.5 * jnp.sum(zf ** 2)
             numel = float(avg.size)
-            # reference CWFA.py:189-192: (0.5*||Z||^2 - logdet)/numel(Z[-1]),
-            # then .mean() over the batch-shaped logdet
-            nlls.append(jnp.mean((prior - logdet) / numel))
-            priors.append(prior / numel)
-            logjacs.append(jnp.mean(logdet) / numel)
+            if per_sample:
+                prior_b = 0.5 * jnp.sum(zf ** 2,
+                                        axis=tuple(range(1, zf.ndim)))
+                nlls.append((prior_b - logdet) / (numel / b))
+                priors.append(prior_b / (numel / b))
+                logjacs.append(logdet / (numel / b))
+            else:
+                prior = 0.5 * jnp.sum(zf ** 2)
+                # reference CWFA.py:189-192: (0.5*||Z||^2 - logdet)/numel,
+                # then .mean() over the batch-shaped logdet
+                nlls.append(jnp.mean((prior - logdet) / numel))
+                priors.append(prior / numel)
+                logjacs.append(jnp.mean(logdet) / numel)
             v = avg
             gt_cache.append(v)
         return nlls, gt_cache, priors, logjacs

@@ -163,9 +163,110 @@ class SummaryWriter:
     def add_image(self, tag: str, img, global_step: int = 0):
         self._write(_event(int(global_step),
                            _image_value(tag, np.asarray(img))))
+        self._f.flush()
+
+    def add_figure(self, tag: str, figure, global_step: int = 0):
+        """Render a matplotlib figure to RGB and log it as an image (the
+        reference's writer.add_figure calls, CWFA.py:1070-1155)."""
+        figure.canvas.draw()
+        w, h = figure.canvas.get_width_height()
+        buf = np.frombuffer(figure.canvas.buffer_rgba(), dtype=np.uint8)
+        img = buf.reshape(h, w, 4)[..., :3].copy()
+        self.add_image(tag, img, global_step)
+        import matplotlib.pyplot as plt
+        plt.close(figure)
 
     def flush(self):
         self._f.flush()
 
     def close(self):
         self._f.close()
+
+
+# ---------------------------------------------------------------------------
+# Event-file reader (tests / verification; TensorBoard-independent)
+# ---------------------------------------------------------------------------
+
+
+def _read_pb_fields(data: bytes):
+    """Yield (field, wire, value) triples from one protobuf message."""
+    i = 0
+    while i < len(data):
+        key = 0
+        shift = 0
+        while True:
+            b = data[i]; i += 1
+            key |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v = 0; shift = 0
+            while True:
+                b = data[i]; i += 1
+                v |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+        elif wire == 1:
+            v = data[i:i + 8]; i += 8
+        elif wire == 5:
+            v = data[i:i + 4]; i += 4
+        elif wire == 2:
+            ln = 0; shift = 0
+            while True:
+                b = data[i]; i += 1
+                ln |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            v = data[i:i + ln]; i += ln
+        else:
+            raise ValueError(f"wire {wire}")
+        yield field, wire, v
+
+
+def read_event_file(path: str):
+    """Parse an event file back into a list of
+    {'step', 'tag', 'kind': 'scalar'|'image'|'text', 'value'} dicts.
+    Images return (height, width) only (payload is PNG)."""
+    out = []
+    with open(path, "rb") as f:
+        data = f.read()
+    i = 0
+    while i + 12 <= len(data):
+        (ln,) = struct.unpack("<Q", data[i:i + 8])
+        rec = data[i + 12:i + 12 + ln]
+        i += 12 + ln + 4
+        step = 0
+        summ = None
+        for field, wire, v in _read_pb_fields(rec):
+            if field == 2 and wire == 0:
+                step = v
+            elif field == 5 and wire == 2:
+                summ = v
+        if summ is None:
+            continue
+        for field, _, val in _read_pb_fields(summ):
+            if field != 1:
+                continue
+            tag, kind, value = None, None, None
+            for f2, w2, v2 in _read_pb_fields(val):
+                if f2 == 1:
+                    tag = v2.decode()
+                elif f2 == 2 and w2 == 5:
+                    kind, value = "scalar", struct.unpack("<f", v2)[0]
+                elif f2 == 4 and w2 == 2:
+                    h = w = 0
+                    for f3, _, v3 in _read_pb_fields(v2):
+                        if f3 == 1:
+                            h = v3
+                        elif f3 == 2:
+                            w = v3
+                    kind, value = "image", (h, w)
+                elif f2 == 8 and w2 == 2:
+                    kind = kind or "text"
+            out.append({"step": step, "tag": tag, "kind": kind,
+                        "value": value})
+    return out

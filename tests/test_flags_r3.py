@@ -1,0 +1,190 @@
+"""Round-3 flag-surface tests: split-index resolution (main.py:195-233),
+volume_norm_func (utils.py:128-184), max_test_load_epoch checkpoint cap,
+fine_tune_use_model_args lr override (CWFA.py:599-600), files_to_store,
+and the evaluation TB image/figure summaries (CWFA.py:1070-1072,1144-1169)."""
+
+import dataclasses
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+from cwfa_tpu.config import CWFAConfig
+from cwfa_tpu.data import splits
+from cwfa_tpu.data.dataset import apply_volume_norm
+
+
+# ---------------------------------------------------------------- splits
+
+def test_train_indices_interleaved_stride():
+    # reference main.py:214-216: range(0, 500, 500//n)[:n] after //n_datasets
+    idx = splits.resolve_train_indices(50, cv=1, n_datasets=1)
+    assert idx == list(range(0, 500, 10))[:50]
+    # count divided across datasets for multi-fish folds (cv < 30)
+    idx2 = splits.resolve_train_indices(50, cv=1, n_datasets=5)
+    assert idx2 == list(range(0, 500, 50))[:10]
+    # single-fish folds (cv >= 30) keep the full count
+    idx3 = splits.resolve_train_indices(50, cv=31, n_datasets=5)
+    assert len(idx3) == 50
+
+
+def test_train_indices_list_passthrough():
+    assert splits.resolve_train_indices([3, 7, 9]) == [3, 7, 9]
+    # a 1-element list collapses to its int (main.py:209-210)
+    assert splits.resolve_train_indices([10], n_datasets=1) == \
+        splits.resolve_train_indices(10, n_datasets=1)
+
+
+def test_eval_indices_window_from_500():
+    # reference main.py:219-231: test/val = contiguous window from frame 500
+    assert splits.resolve_eval_indices(5) == [500, 501, 502, 503, 504]
+    assert splits.resolve_eval_indices([7, 8]) == [7, 8]
+    assert splits.resolve_eval_indices([5]) == list(range(500, 505))
+
+
+def test_clamp_indices_small_dataset():
+    assert splits.clamp_indices([500, 501, 502], 10) == [0, 1, 2]
+    assert splits.clamp_indices([2, 8, 40], 10) == [2, 8]
+
+
+# --------------------------------------------------------- volume norm
+
+def test_volume_norm_modes():
+    v = np.array([[0.5, 2.0], [4.0, 8.0]], np.float32)
+    out = apply_volume_norm(v.copy(), "std", (0.0, 100.0))
+    np.testing.assert_allclose(out.mean(), 0.0, atol=1e-6)
+    np.testing.assert_allclose(out.std(ddof=1), 1.0, atol=1e-6)
+
+    out = apply_volume_norm(v.copy(), "max", (0.1, 100.0))
+    assert out.max() == 1.0
+    assert out[0, 0] == 0.0          # 0.5/8 = 0.0625 < 0.1 -> zeroed
+
+    out = apply_volume_norm(v.copy(), None, (1.0, 5.0))
+    assert out[0, 0] == 0.0 and out[1, 1] == 5.0
+
+    with pytest.raises(ValueError):
+        apply_volume_norm(v.copy(), "bogus", (0, 1))
+
+
+# ------------------------------------------- checkpoint flag semantics
+
+def test_max_test_load_epoch_caps_discovery(tmp_path):
+    from cwfa_tpu.engine.checkpoints import (discover_checkpoints,
+                                             save_step_checkpoint)
+    cfg = CWFAConfig()
+    for ep in (3, 7, 11):
+        save_step_checkpoint(str(tmp_path), 1, ep, cfg)
+    assert discover_checkpoints(str(tmp_path))[1][0] == 11
+    assert discover_checkpoints(str(tmp_path), max_epoch=8)[1][0] == 7
+
+
+def _tiny_rig(tmp_path_factory):
+    from cwfa_tpu.data import make_synthetic_dataset, load_xlfm_data, \
+        ConcatXLFMDataset, make_view_indices
+    root = str(tmp_path_factory.mktemp("r3flags"))
+    info = make_synthetic_dataset(root, n_fish=1, n_frames=2, n_depths=8,
+                                  vol_side=16, img_size=64, n_lenslets=4,
+                                  view_size=16)
+    fish = info["fish_dirs"][0] + "/SLNet_preprocessed"
+    ds = load_xlfm_data(fish, info["lenslet_file"],
+                        vol_shape=(16, 16, 8), img_shape=(64, 64),
+                        images_to_use=[0, 1], n_depths_to_fill=8,
+                        ds_id="f0")
+    cat = ConcatXLFMDataset(ds)
+    cfg = CWFAConfig(n_depths=8, volume_side_size=16, n_lenslets=4,
+                     INN_max_down_steps=2, INN_n_blocks=2,
+                     INN_internal_chans=4, INN_cond_chans=2, epochs=2,
+                     eval_every=2, save_tiff_volumes=0).decode_lrs()
+    vidx = make_view_indices(ds.lenslet_coords, (64, 64), (16, 16))
+    return cat, cfg, vidx
+
+
+def test_fine_tune_use_model_args_lr_override(tmp_path_factory, tmp_path):
+    from cwfa_tpu.engine.trainer import CWFATrainer
+    from cwfa_tpu.models.cwfa_model import CWFAModel
+
+    cat, cfg, vidx = _tiny_rig(tmp_path_factory)
+    stats = cat.get_statistics()
+    out = str(tmp_path / "ck")
+
+    # write checkpoints whose stored config carries a DIFFERENT flow lr
+    ck_cfg = dataclasses.replace(cfg, learning_rate=5e-4)
+    tr = CWFATrainer(CWFAModel.build(ck_cfg), stats, vidx, output_path=out)
+    tr.save_checkpoints(epoch=1)
+
+    cfg2 = dataclasses.replace(cfg, fine_tune_use_model_args=1)
+    tr2 = CWFATrainer(CWFAModel.build(cfg2), stats, vidx)
+    base_tx = tr2.tx_flow
+    loaded = tr2.load_checkpoints(out)
+    assert loaded
+    # the per-step flow optimizer was re-created from the checkpoint lr
+    # (reference CWFA.py:599-600 reads args_nets[step].learning_rate)
+    assert tr2.tx_flow_steps[0] is not base_tx
+
+    # without the flag, optimizers stay untouched
+    tr3 = CWFATrainer(CWFAModel.build(cfg), stats, vidx)
+    tr3.load_checkpoints(out)
+    assert all(t is tr3.tx_flow for t in tr3.tx_flow_steps)
+
+
+def test_files_to_store_pattern(tmp_path):
+    from cwfa_tpu.engine.trainer import snapshot_sources
+    out = str(tmp_path)
+    snapshot_sources(out, pattern="config*.py")
+    names = zipfile.ZipFile(os.path.join(out, "files.zip")).namelist()
+    assert any(n.endswith("config.py") for n in names)
+    assert not any(n.endswith("trainer.py") for n in names)
+
+
+# -------------------------------------- TB image summaries in evaluation
+
+def test_eval_writes_tb_images(tmp_path_factory, tmp_path):
+    from cwfa_tpu.engine.trainer import CWFATrainer
+    from cwfa_tpu.models.cwfa_model import CWFAModel
+    from cwfa_tpu.utils.tb_writer import read_event_file
+
+    cat, cfg, vidx = _tiny_rig(tmp_path_factory)
+    cfg = dataclasses.replace(cfg, save_images=1, create_dist_plots=1,
+                              batch_size=2)
+    out = str(tmp_path / "run")
+    tr = CWFATrainer(CWFAModel.build(cfg), cat.get_statistics(), vidx,
+                     output_path=out)
+    res = tr.evaluate(cat, "val", epoch=0)
+    assert len(res["nll"]) == 2 and res["nll"][0].shape == (1,)
+    tr.log.tb_writer.flush()
+
+    ev_files = [f for f in os.listdir(out) if f.startswith("events.out")]
+    assert ev_files
+    events = read_event_file(os.path.join(out, ev_files[0]))
+    tags = {e["tag"] for e in events if e["kind"] == "image"}
+    # the pred projection grid is unconditional; gt + per-step MIPs and the
+    # condition map ride save_images; histograms ride create_dist_plots
+    assert "projections_pred/val" in tags
+    assert "projections_gt/val" in tags
+    assert any(t.startswith("fine_tune/recon_val_step") for t in tags)
+    assert any(t.startswith("fine_tune/GT_val_step") for t in tags)
+    assert "condition/val_step0" in tags
+    assert any(t.startswith("posterior/val/step") for t in tags)
+    # scalars still flow
+    stags = {e["tag"] for e in events if e["kind"] == "scalar"}
+    assert any(t.startswith("fine_tune/psnr/val") for t in stags)
+
+
+# ------------------------------------------------- streaming CC metric
+
+def test_roi_accumulator_matches_batch_path():
+    from cwfa_tpu.engine.metrics import RoiTraceAccumulator, corr_coeff_3d
+    rng = np.random.RandomState(0)
+    T, D, H, W = 6, 8, 24, 24
+    gt = rng.rand(T, D, H, W).astype(np.float64)
+    pr = gt + 0.01 * rng.randn(T, D, H, W)
+    coords = [(12, 12, 0), (5, 18, 1)]
+    cc_batch, rec_batch = corr_coeff_3d(gt, pr, coords, filter_width=3)
+
+    acc = RoiTraceAccumulator(coords)
+    for t in range(T):
+        acc.add(gt[t], pr[t])
+    cc_stream, rec_stream = acc.finalize(filter_width=3)
+    np.testing.assert_allclose(cc_stream, cc_batch, rtol=1e-9)
+    assert len(rec_stream) == len(rec_batch)

@@ -135,3 +135,19 @@ def test_service_with_real_pipeline(tmp_path):
     direct = np.asarray(recon(frames[:2]))
     np.testing.assert_allclose(got[0], direct[0], rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(got[1], direct[1], rtol=2e-5, atol=2e-5)
+
+
+def test_pending_age_tracks_buffer():
+    """Watch-mode trickle: buffered frames expose their age so the poll loop
+    can flush before a slow trickle holds them for batch_size polls
+    (round-2 advisor finding)."""
+    import time as _time
+    fr = FakeRecon()
+    svc = ReconstructionService(fr, batch_size=4, img_hw=(8, 8))
+    assert svc.pending == 0 and svc.pending_age() == 0.0
+    svc.submit(np.zeros((8, 8), np.float32))
+    assert svc.pending == 1
+    _time.sleep(0.02)
+    assert svc.pending_age() >= 0.02
+    svc.flush_partial()
+    assert svc.pending == 0 and svc.pending_age() == 0.0
