@@ -28,7 +28,8 @@ class XLFMReconstructor:
                  compute_dtype=jnp.float32, use_pallas: bool = False,
                  use_int8: bool = False, calib_frames=None,
                  pair_input_towers="mid",
-                 use_int8_towers: bool = False):
+                 use_int8_towers: bool = False,
+                 use_int8_cond: bool = False):
         self.model = model
         self.stats = stats
         self.deterministic = deterministic
@@ -50,7 +51,8 @@ class XLFMReconstructor:
         #   these N=128 shapes; kept as an option for other hardware).
         self._qpacks = None
         self._unet_q = None
-        if use_int8 or use_int8_towers:
+        self._cond_q = None
+        if use_int8 or use_int8_towers or use_int8_cond:
             if calib_frames is None:
                 raise ValueError("int8 paths require calib_frames "
                                  "(a batch of raw camera frames)")
@@ -59,12 +61,21 @@ class XLFMReconstructor:
                 self._unet_q = jax.tree_util.tree_map(
                     jnp.asarray,
                     model.quantize_unet_pack(params, mstate, calib_views))
+            if use_int8_cond and not cfg.force_all_steps_NF:
+                # int8 y-intermediate for the cond nets' 3-D pairs.
+                # Measured NEUTRAL at batch 16 (49.22 vs 49.08 ms/frame,
+                # round 3): the requant ops + int32 conv_b output offset the
+                # halved y bytes.  Kept off by default; tolerance-guarded in
+                # tests/test_cond_net.py.
+                from cwfa_tpu.models.cond_net import quantize_cond_networks
+                self._cond_q = jax.jit(quantize_cond_networks)(
+                    params["cond"], calib_views[:2])
             if use_int8_towers:
                 self._qpacks = jax.tree_util.tree_map(
                     jnp.asarray, model.quantize_steps(params, calib_views))
 
         def recon(params, mstate, raw_images, mean_caches, mean_branch,
-                  qpacks, unet_q, key):
+                  qpacks, unet_q, cond_q, key):
             views_n = _norm_views(raw_images)
             b = raw_images.shape[0]
             mcs = [jnp.broadcast_to(c.astype(compute_dtype),
@@ -80,7 +91,8 @@ class XLFMReconstructor:
                 train=False, lrnn_train=not deterministic,
                 n_samples=cfg.INN_n_samples, fast=use_pallas,
                 lrnn_mean_branch=mean_branch, qpacks=qpacks,
-                pair_input_towers=pair_input_towers, unet_q=unet_q)
+                pair_input_towers=pair_input_towers, unet_q=unet_q,
+                cond_q=cond_q)
             return vol.astype(jnp.float32) * std_v + mean_v
 
         self._fn = jax.jit(recon)
@@ -108,7 +120,7 @@ class XLFMReconstructor:
         self._key, sub = jax.random.split(self._key)
         return self._fn(self._params, self._mstate, jnp.asarray(raw_images),
                         self._mean_caches, self._mean_branch, self._qpacks,
-                        self._unet_q, sub)
+                        self._unet_q, self._cond_q, sub)
 
     def warmup(self, batch_size: int, img_hw):
         dummy = jnp.zeros((batch_size,) + tuple(img_hw), jnp.float32)

@@ -107,6 +107,71 @@ def _conv3d_pair_banded(params, out, act, drop_rate, rng):
     return z
 
 
+def _conv_a_depthbatch(params, out, act):
+    """conv_a + bias + PReLU of the depthbatch form: (B*D, K, H, W)."""
+    b, d, h, w = out.shape
+    wa, ba = params["c3a"]["w"], params["c3a"].get("b")
+    w_a = jnp.transpose(wa[:, 0], (0, 3, 1, 2))
+    xp = jnp.pad(out, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    x3 = jnp.stack([xp[:, 0:d], xp[:, 1:d + 1], xp[:, 2:d + 2]], axis=2)
+    y = cnn.conv2d({"w": w_a}, x3.reshape(b * d, 3, h, w))
+    if ba is not None:
+        y = y + ba.astype(y.dtype)[None, :, None, None]
+    return act(y)
+
+
+def calibrate_cond3d(params, x_cond, act):
+    """Per-feature absmax scales (K,) of the post-PReLU conv_a output, for
+    the int8 y-intermediate (``_conv3d_pair_depthbatch_int8``).
+    x_cond: the 2-D-stack output (B, D, H, W) on calibration views."""
+    y = _conv_a_depthbatch(params, x_cond.astype(jnp.float32), act)
+    amax = jnp.max(jnp.abs(y), axis=(0, 2, 3))
+    return jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
+
+
+def quantize_cond3d(params, scales):
+    """int8 pack for conv_b with the per-feature y scales folded in.
+
+    Returns {"wbq": (3dc, K, 3, 3) int8, "sb": (3,) f32 dequant scales,
+    "inv_s": (K,) f32 y-quantization reciprocals}."""
+    wb = params["c3b"]["w"]                       # (1, K, 3, 3, 3)
+    w_b = jnp.transpose(wb[0], (3, 0, 1, 2)).astype(jnp.float32)
+    w_b = w_b * scales[None, :, None, None]       # fold y scale per K
+    amax = jnp.max(jnp.abs(w_b), axis=(1, 2, 3))
+    sb = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
+    wbq = jnp.clip(jnp.round(w_b / sb[:, None, None, None]),
+                   -127, 127).astype(jnp.int8)
+    return {"wbq": wbq, "sb": sb,
+            "inv_s": (1.0 / scales).astype(jnp.float32)}
+
+
+def _conv3d_pair_depthbatch_int8(params, out, act, q):
+    """Inference-only depthbatch pair with the (B*D, K, H, W) y-intermediate
+    carried as int8: the pair is HBM-bound (y is ~32x the input bytes, ~3
+    GB/frame at flagship across the four steps), so halving y's bytes is
+    the lever — the MXU rate at these tiny channel counts is unchanged in
+    either precision (docs/PERFORMANCE.md round-3).  Per-feature static
+    calibration; tolerance-guarded in tests/test_cond_net.py."""
+    b, d, h, w = out.shape
+    y = _conv_a_depthbatch(params, out, act)
+    yq = jnp.clip(jnp.round(y.astype(jnp.float32)
+                            * q["inv_s"][None, :, None, None]),
+                  -127, 127).astype(jnp.int8)
+    v = jax.lax.conv_general_dilated(
+        yq, q["wbq"], (1, 1), [(1, 1)] * 2,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.int32)
+    v = (v.astype(jnp.float32) * q["sb"][None, :, None, None]
+         ).astype(out.dtype).reshape(b, d, 3, h, w)
+    z = v[:, :, 1]
+    z = z.at[:, 1:].add(v[:, :-1, 0])
+    z = z.at[:, :-1].add(v[:, 1:, 2])
+    bb = params["c3b"].get("b")
+    if bb is not None:
+        z = z + bb.astype(z.dtype)[None, :, None, None]
+    return z
+
+
 def _conv3d_pair_depthbatch(params, out, act, drop_rate, rng):
     """The Conv3d(1->K)->PReLU->Dropout3d->Conv3d(K->1) pair with the DEPTH
     axis folded into the batch — the direct (minimum-FLOP) contraction as two
@@ -121,16 +186,9 @@ def _conv3d_pair_depthbatch(params, out, act, drop_rate, rng):
     identical (tests/test_cond_net.py). The banded path stays for shapes
     where D is small (its full-tile N=K*D wins when the band is short)."""
     b, d, h, w = out.shape
-    wa, ba = params["c3a"]["w"], params["c3a"].get("b")   # (K,1,kh,kw,dc)
     wb, bb = params["c3b"]["w"], params["c3b"].get("b")   # (1,K,kh,kw,dc)
-    k = wa.shape[0]
-    w_a = jnp.transpose(wa[:, 0], (0, 3, 1, 2))           # (K, 3dc, 3, 3)
-    xp = jnp.pad(out, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    x3 = jnp.stack([xp[:, 0:d], xp[:, 1:d + 1], xp[:, 2:d + 2]], axis=2)
-    y = cnn.conv2d({"w": w_a}, x3.reshape(b * d, 3, h, w))
-    if ba is not None:
-        y = y + ba.astype(y.dtype)[None, :, None, None]
-    y = act(y)
+    k = params["c3a"]["w"].shape[0]
+    y = _conv_a_depthbatch(params, out, act)
     if drop_rate and rng is not None:
         # Dropout3d drops whole (b, o) feature volumes across all depths
         keep = 1.0 - drop_rate
@@ -258,7 +316,7 @@ def _block_diag_w(ws):
     return out
 
 
-def cond_networks_batched(params_list, x):
+def cond_networks_batched(params_list, x, cond_q=None):
     """Run ALL per-step condition networks on the same views in one set of
     wide convolutions (inference path).
 
@@ -270,7 +328,38 @@ def cond_networks_batched(params_list, x):
     separate (different alphas / depths).
 
     Returns [out_k for each params in params_list].
+
+    cond_q: optional per-step int8 y-packs (``quantize_cond_networks``) —
+    routes each 3-D pair through the int8-intermediate path.
     """
+    outs2d = cond_networks_2d(params_list, x)
+    outs = []
+    for i, p in enumerate(params_list):
+        act = lambda u, pp=p: cnn.prelu(pp["prelu"], u)
+        o = outs2d[i]
+        if cond_q is not None and cond_q[i] is not None:
+            outs.append(_conv3d_pair_depthbatch_int8(p, o, act, cond_q[i]))
+        else:
+            outs.append(_conv3d_pair(p, o, act, 0.0, None))
+    return outs
+
+
+def quantize_cond_networks(params_list, x_sample):
+    """Build the per-step int8 y-packs for ``cond_networks_batched``:
+    runs the 2-D stacks on sample views, calibrates each step's conv_a
+    features, folds scales into int8 conv_b weights."""
+    outs2d = cond_networks_2d(params_list, x_sample.astype(jnp.float32))
+    packs = []
+    for p, o in zip(params_list, outs2d):
+        act = lambda u, pp=p: cnn.prelu(pp["prelu"], u)
+        scales = calibrate_cond3d(p, o, act)
+        packs.append(quantize_cond3d(p, scales))
+    return packs
+
+
+def cond_networks_2d(params_list, x):
+    """The batched 2-D stack only (conv1/conv2/down + PReLUs), shared by
+    ``cond_networks_batched`` and calibration."""
     c_outs = [p["conv1"]["w"].shape[0] for p in params_list]
     w1 = jnp.concatenate([p["conv1"]["w"] for p in params_list], 0)
     b1 = jnp.concatenate([p["conv1"]["b"] for p in params_list], 0)
@@ -278,26 +367,18 @@ def cond_networks_batched(params_list, x):
     bd = jnp.concatenate([p["down"]["b"] for p in params_list], 0)
     w2 = _block_diag_w([p["conv2"]["w"] for p in params_list])
     b2 = jnp.concatenate([p["conv2"]["b"] for p in params_list], 0)
-
-    # conv1 and down share the input: one 2x-wider conv (N=180 instead of
-    # two N=90 launches) then split
     n1 = w1.shape[0]
     y1d = cnn.conv2d({"w": jnp.concatenate([w1, wd], 0),
                       "b": jnp.concatenate([b1, bd], 0)}, x)
     y1, res = y1d[:, :n1], y1d[:, n1:]
-    # per-net PReLU on the stacked channels
     segs = np.cumsum([0] + c_outs)
     y1 = jnp.concatenate(
         [cnn.prelu(p["prelu"], y1[:, segs[i]:segs[i + 1]])
          for i, p in enumerate(params_list)], axis=1)
     y2 = cnn.conv2d({"w": w2, "b": b2}, y1)
-    outs = []
-    for i, p in enumerate(params_list):
-        seg = slice(segs[i], segs[i + 1])
-        act = lambda u, pp=p: cnn.prelu(pp["prelu"], u)
-        o = act(y2[:, seg] + res[:, seg])
-        outs.append(_conv3d_pair(p, o, act, 0.0, None))
-    return outs
+    return [cnn.prelu(p["prelu"], y2[:, segs[i]:segs[i + 1]]
+                      + res[:, segs[i]:segs[i + 1]])
+            for i, p in enumerate(params_list)]
 
 
 def init_global_attention(key, n_chans: int):

@@ -204,7 +204,7 @@ class CWFAModel:
                     lrnn_train: bool | None = None,
                     n_samples: int = 1, return_pyramid: bool = False,
                     fast: bool = False, lrnn_mean_branch=None, qpacks=None,
-                    pair_input_towers="mid", unet_q=None):
+                    pair_input_towers="mid", unet_q=None, cond_q=None):
         """Full generative chain (CWFA.py:865-927): LRNN at the coarsest
         level, then invert flow steps k = n-1..0, doubling depth each time.
 
@@ -244,7 +244,8 @@ class CWFAModel:
             # all cond nets share the input views: run them as one set of
             # wide convs (models/cond_net.cond_networks_batched)
             from cwfa_tpu.models.cond_net import cond_networks_batched
-            c_views_all = cond_networks_batched(params["cond"], cond_input)
+            c_views_all = cond_networks_batched(params["cond"], cond_input,
+                                                cond_q=cond_q)
         # Pair the per-step 64-wide input-block towers across steps (exact;
         # a 64-wide conv costs a full MXU tile anyway). Eval-only: training
         # differentiates through _input_block per step.

@@ -137,3 +137,23 @@ def test_batched_cond_nets_match_separate():
         want = cond_network(p, x, conv3d_impl="banded")
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-4, rtol=1e-4)
+
+
+def test_int8_cond3d_tolerance():
+    """int8 y-intermediate path (per-feature calibrated) tracks the f32
+    batched path within quantization tolerance."""
+    import jax.numpy as jnp
+    from cwfa_tpu.models.cond_net import (cond_networks_batched,
+                                          quantize_cond_networks)
+    key = jax.random.PRNGKey(7)
+    plist = [init_cond_network(jax.random.fold_in(key, i), 5, d, chans_3d=8)
+             for i, d in enumerate((8, 4))]
+    x = jnp.asarray(np.random.RandomState(3)
+                    .randn(2, 5, 16, 16).astype(np.float32))
+    ref = cond_networks_batched(plist, x)
+    packs = quantize_cond_networks(plist, x)
+    q = cond_networks_batched(plist, x, cond_q=packs)
+    for r, o in zip(ref, q):
+        r, o = np.asarray(r), np.asarray(o)
+        rel = np.linalg.norm(o - r) / max(np.linalg.norm(r), 1e-9)
+        assert rel < 0.05, rel
