@@ -192,8 +192,12 @@ def trained_quality(epochs):
     vidx = make_view_indices(ds.lenslet_coords, (img, img), (vs, vs))
     trainer = CWFATrainer(model, cat.get_statistics(), vidx)
     print(f"[2] training synthetic config for {epochs} epochs...", flush=True)
+    t0 = time.time()
     for ep in range(epochs):
         loss = trainer.train_epoch(cat, ep)
+        if ep % 8 == 0:
+            print(f"  epoch {ep}: loss {loss:.4f} ({time.time()-t0:.0f}s)",
+                  flush=True)
     print(f"  final loss {loss:.4f}", flush=True)
     trainer.ensure_mean_caches(cat)
 
@@ -218,9 +222,18 @@ def trained_quality(epochs):
 
 
 def main():
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 48
-    flagship_agreement()
-    trained_quality(epochs)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    epochs = int(args[0]) if args else 48
+    # --part 1|2 runs one half (each flagship compile is minutes; CI-style
+    # wrappers with per-command time budgets run the parts separately)
+    if "--part" in sys.argv:
+        part = sys.argv[sys.argv.index("--part") + 1]
+    else:
+        part = "all"
+    if part in ("1", "all"):
+        flagship_agreement()
+    if part in ("2", "all"):
+        trained_quality(epochs)
 
 
 if __name__ == "__main__":
