@@ -100,3 +100,20 @@ def test_train_cli_smoke(rig, tmp_path):
     ])
     assert "train" in results
     assert len(results["train"]["psnr"]) > 0
+
+
+def test_ood_detect_batched_matches_batch1(rig):
+    """detect_ood honors batch_size with per-frame NLLs identical across
+    batch shapes (frames only differ by the noise key draw; share none —
+    the forward pyramid's 1e-3 noise makes per-call scores jitter, so
+    compare at a tolerance above the noise floor but far below the
+    fish-to-fish separation)."""
+    import dataclasses as dc
+    m1 = CWFAModel.build(dc.replace(rig["cfg"], batch_size=1))
+    mN = CWFAModel.build(dc.replace(rig["cfg"], batch_size=4))
+    tr1 = CWFATrainer(m1, rig["stats"], rig["vidx"], seed=3)
+    trN = CWFATrainer(mN, rig["stats"], rig["vidx"], seed=3)
+    r1 = detect_ood(tr1, rig["cat"])
+    rN = detect_ood(trN, rig["cat"])
+    assert rN.nll_per_frame.shape == r1.nll_per_frame.shape == (4, 1)
+    np.testing.assert_allclose(rN.scores, r1.scores, rtol=5e-3, atol=5e-3)
