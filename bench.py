@@ -53,10 +53,13 @@ def main():
     compute_dtype = jnp.bfloat16 if cfg.use_half_precision else jnp.float32
 
     import gc
+    import os
     best_fps = 0.0
-    # batch 4 first: historically the sweet spot; batch 8 compiles
-    # intermittently hit the HBM ceiling on this chip
-    for batch in (8, 16, 4, 1):
+    # batch sweep; BENCH_BATCHES env (comma-separated) bounds it for
+    # time-budgeted runs (e.g. BENCH_BATCHES=16 python bench.py)
+    batches = tuple(int(b) for b in
+                    os.environ.get("BENCH_BATCHES", "8,16,4,1").split(","))
+    for batch in batches:
         gc.collect()
         try:
             frames = jnp.asarray(
@@ -81,6 +84,15 @@ def main():
     # --- training-throughput regression guard (stderr; VERDICT r1 item 10):
     # flagship per-sample step times back the "finetune fits the 5-minute
     # budget" claim (ref CWFA.py:683,1030; README.md:22).
+    # BENCH_SKIP_TRAIN=1 skips it for time-budgeted runs.
+    if os.environ.get("BENCH_SKIP_TRAIN"):
+        print(json.dumps({
+            "metric": "recon_fps_512x512x96",
+            "value": round(best_fps, 3),
+            "unit": "frames/s/chip",
+            "vs_baseline": round(best_fps / 6.25, 3),
+        }))
+        return
     try:
         train_ms = _train_step_times(cfg, model, params, mstate, stats,
                                      mean_caches)

@@ -18,6 +18,12 @@ def main():
     batch = int(args[0]) if args and args[0].isdigit() else 8
     use_int8 = "--int8" in args
     cfg = CWFAConfig().decode_lrs()
+    if "--forceall" in args:
+        # ablation: zero-views conditions — the cond nets drop out of the
+        # program entirely, so (normal - forceall) = their true marginal
+        # in-program cost (isolated jits overestimate ~25-40%)
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, force_all_steps_NF=1)
     img = 2160
     model = CWFAModel.build(cfg)
     params, mstate = model.init(jax.random.PRNGKey(0))
