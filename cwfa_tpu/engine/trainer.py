@@ -516,6 +516,7 @@ class CWFATrainer:
                     accs[di] = RoiTraceAccumulator(coords)
 
         last_pyr_np = last_gt_np = None     # figure sources (last frame)
+        views_n = None
         frame_no = 0
         for di, ixs in self._batches(dataset):
             views_n, gt_cache, mean_caches = self._batch_inputs(
@@ -606,7 +607,7 @@ class CWFATrainer:
 
         self._log_eval_images(tag, res, last_gt_np, last_pyr_np,
                               epoch if epoch is not None else 0,
-                              views_n=views_n if frame_no else None)
+                              views_n=views_n)
 
         # logging parity (CWFA.py:1119-1142, 1210-1211)
         step = epoch if epoch is not None else 0
@@ -732,7 +733,9 @@ class CWFATrainer:
         from cwfa_tpu.engine import torch_convert as tc
 
         nf = self.model.n_flow_steps
-        found = discover_checkpoints(path, prefix="model_step_*__ep_*")
+        found = discover_checkpoints(
+            path, prefix="model_step_*__ep_*",
+            max_epoch=int(self.cfg.max_test_load_epoch))
         # exclude our own msgpack files
         found = {s: (e, f) for s, (e, f) in found.items()
                  if not f.endswith(".msgpack")}
