@@ -494,17 +494,43 @@ class CWFATrainer:
                "projections_gt": [], "projections_predicted": []}
         from cwfa_tpu.utils.projections import volume_2_projections
 
-        # streaming TIFF dump setup (CWFA.py:1047-1055)
+        # streaming TIFF dump setup (CWFA.py:1047-1055): writes run on a
+        # background thread (bounded queue) so serialization overlaps the
+        # next batch's device work — the serving writer pattern
+        # (engine/serving.serve_directory); at flagship scale the dumps are
+        # ~200 MB/frame of IO and would otherwise dominate eval wall-clock.
+        # (On a 1-core host with TINY volumes the thread measures ~15%
+        # slower — per-file overhead dominates; the flagship 100 MB native
+        # writes release the GIL and overlap, the regime serving measured.)
         if save_volumes is None:
             save_volumes = bool(cfg.save_tiff_volumes) and \
                 self.output_path is not None
+        writer_q = writer_thread = None
+        writer_error: list = []
         if save_volumes and self.output_path:
+            import queue
+            import threading
             from cwfa_tpu.data.tiff import write_tiff_stack
             for sub in ("gt", "pred"):
                 os.makedirs(os.path.join(self.output_path, "stacks", sub),
                             exist_ok=True)
-        else:
-            write_tiff_stack = None
+            writer_q = queue.Queue(maxsize=16)
+
+            def _writer():
+                while True:
+                    item = writer_q.get()
+                    if item is None:
+                        return
+                    if writer_error:
+                        continue           # drain after failure
+                    path, arr = item
+                    try:
+                        write_tiff_stack(path, arr)
+                    except Exception as e:   # surfaced on the main thread
+                        writer_error.append(e)
+
+            writer_thread = threading.Thread(target=_writer, daemon=True)
+            writer_thread.start()
 
         # per-fish streaming trace accumulators for the CC metric
         from cwfa_tpu.engine.metrics import RoiTraceAccumulator
@@ -555,15 +581,18 @@ class CWFATrainer:
                         volume_2_projections(gt_out[None])[0])
                     res["projections_predicted"].append(
                         volume_2_projections(pred_out[None])[0])
-                if write_tiff_stack is not None:
-                    write_tiff_stack(os.path.join(
+                if writer_q is not None:
+                    if writer_error:
+                        raise RuntimeError("volume writer failed") \
+                            from writer_error[0]
+                    writer_q.put((os.path.join(
                         self.output_path, "stacks", "gt",
                         f"stack_{frame_no:03d}.tif"),
-                        np.maximum(gt_out, 0).astype(np.float32))
-                    write_tiff_stack(os.path.join(
+                        np.maximum(gt_out, 0).astype(np.float32)))
+                    writer_q.put((os.path.join(
                         self.output_path, "stacks", "pred",
                         f"stack_{frame_no:03d}.tif"),
-                        np.maximum(pred_out, 0).astype(np.float32))
+                        np.maximum(pred_out, 0).astype(np.float32)))
                 if di in accs:
                     accs[di].add(gt_out, pred_out)
                 # per-frame NLL: cached by the GT-pyramid pass (the
@@ -577,6 +606,13 @@ class CWFATrainer:
                     self.nll_cache.setdefault(tag, {})[ix] = nll
                 res["nll"].append(nll)
                 frame_no += 1
+
+        if writer_thread is not None:
+            writer_q.put(None)
+            writer_thread.join()
+            if writer_error:
+                raise RuntimeError("volume writer failed") \
+                    from writer_error[0]
 
         # neural-activity correlation per fish (CWFA.py:1095-1117)
         if accs:
