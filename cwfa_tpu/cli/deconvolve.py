@@ -37,7 +37,14 @@ def build_parser():
     p.add_argument("--vol_xy_size", type=int, default=600)
     p.add_argument("--n_split_fourier", type=int, default=1,
                    help="depth chunking for the FFTs (1 = all at once)")
-    p.add_argument("--dark_current", type=int, default=0)
+    p.add_argument("--dark_current", type=int, default=0,
+                   help="constant camera offset subtracted with the "
+                        "background (the reference accepts this flag but "
+                        "never consumes it — main_deconvolve_dataset.py:35; "
+                        "honored here as the evident intent)")
+    p.add_argument("--main_gpu", nargs="+", type=int, default=[0],
+                   help="accepted for reference CLI compatibility; device "
+                        "selection is N/A on TPU (jax.devices() is used)")
     p.add_argument("--img_size", type=int, default=2160)
     return p
 
@@ -62,9 +69,12 @@ def main(argv=None):
     vol_shape = (args.vol_xy_size, args.vol_xy_size, args.n_depths)
     otf, psf_hw, full_hw = load_psf_otf(args.psf_file, vol_shape)
 
-    background = 0.0
+    background = float(args.dark_current)
     if args.bkg_file:
-        background = read_tiff_stack(args.bkg_file).mean(axis=0)
+        from cwfa_tpu.data.dataset import _center_crop_img
+        bkg = read_tiff_stack(args.bkg_file).mean(axis=0).astype(np.float32)
+        background = _center_crop_img(
+            bkg, (args.img_size, args.img_size)) + args.dark_current
 
     with open(os.path.join(stack_path, "arguments.txt"), "w") as f:
         f.write(str(vars(args)))

@@ -124,9 +124,9 @@ def main(argv=None):
 
     # --- frame-index resolution (reference main.py:195-233 semantics:
     # interleaved-stride train sampling, test/val windows from frame 500) ---
-    # group-size ratio for folds >= 5 (main.py:195-196)
-    ratio = (len(groups.get(0, group)["train"])
-             / max(len(group["train"]), 1))
+    # group-size rescale pair for folds >= 5 (main.py:195-196); passed as
+    # the integer pair so splits.py replays the reference's floor division
+    ratio = (len(groups.get(0, group)["train"]), len(group["train"]))
     if args.max_samples:
         train_idx = list(range(int(args.max_samples)))
         eval_idx = list(range(max(int(args.max_samples) // 2, 1)))

@@ -137,6 +137,64 @@ class XLFMDataset:
         self.stacked_views = (self.stacked_views - stats.mean_imgs) / stats.std_imgs
         self.vols = (self.vols - stats.mean_vols) / stats.std_vols
 
+    # reference leaf API (XLFMDataset.py:169-199) --------------------------
+    standarize = standardize            # reference spelling (XLFMDataset.py:186)
+
+    @staticmethod
+    def standarize_sample(sample, mean, std):
+        """(sample - mean) / std (XLFMDataset.py:192-194)."""
+        return (sample - mean) / std
+
+    def get_n_depths(self):
+        """Number of depth planes.  The reference returns
+        ``vols.shape[1]`` of its (N, H, W, D) layout (XLFMDataset.py:173-174)
+        — that is H, an evident bug; ours returns the actual depth count
+        of our (N, D, H, W) layout."""
+        return int(self.vols.shape[1]) if self.load_vols else 0
+
+    def get_max(self):
+        """(max_imgs, max_imgs_sparse, max_vols) (XLFMDataset.py:176-180).
+        Without a separate sparse channel the sparse max equals the image
+        max, matching the reference's own non-sparse behavior."""
+        m = float(self.stacked_views.max())
+        return m, m, float(self.vols.max())
+
+    def len_lenslets(self):
+        """Total number of lenslets (XLFMDataset.py:195-197)."""
+        return self.n_lenslets
+
+    def get_lenslets_coords(self):
+        """2-D lenslet coordinates (XLFMDataset.py:198-200)."""
+        return self.lenslet_coords
+
+    def add_random_shot_noise_to_dataset(self, signal_power_range=(32 ** 2,
+                                                                   32 ** 2),
+                                         rng=None):
+        """Poisson shot-noise augmentation of the camera frames.
+
+        The reference declares this on ConcatDataset
+        (XLFMDataset.py:397-405) as a delegating loop, but the leaf
+        method on XLFMDatasetFull is absent — calling it there raises
+        AttributeError.  Implemented here per the evident intent (the
+        signal_power convention of the SLNet/XLFMNet lineage): per frame,
+        draw a signal power uniformly from ``signal_power_range``, scale
+        the frame so its mean equals that power, Poisson-sample photon
+        counts, and scale back — noise variance tracks the (scaled)
+        signal, lower power = noisier.  Frames with non-positive mean
+        are left untouched.
+        """
+        rng = np.random.default_rng(rng)
+        lo, hi = float(signal_power_range[0]), float(signal_power_range[-1])
+        for i in range(self.n_images):
+            frame = self.stacked_views[i]
+            mean = float(frame.mean())
+            if mean <= 0:
+                continue
+            power = rng.uniform(lo, hi) if hi > lo else lo
+            scaled = np.clip(frame, 0, None) * (power / mean)
+            noisy = rng.poisson(scaled).astype(self.stacked_views.dtype)
+            self.stacked_views[i] = noisy * (mean / power)
+
 
 class ConcatXLFMDataset:
     """Multi-fish concatenation with global statistics
@@ -144,6 +202,7 @@ class ConcatXLFMDataset:
 
     def __init__(self, *datasets: XLFMDataset):
         self.datasets = list(datasets)
+        self.max_values = None          # get_max cache (XLFMDataset.py:263)
 
     def __len__(self):
         return sum(len(d) for d in self.datasets)
@@ -172,6 +231,69 @@ class ConcatXLFMDataset:
     def mean_volume(self, dataset_ix: int) -> np.ndarray:
         """Per-fish mean of the GT volumes (CWFA.py:645)."""
         return self.datasets[dataset_ix].vols.mean(0, keepdims=True)
+
+    def add_random_shot_noise_to_dataset(self, signal_power_range=(32 ** 2,
+                                                                   32 ** 2),
+                                         rng=None):
+        """Delegating loop (reference XLFMDataset.py:397-405)."""
+        rng = np.random.default_rng(rng)
+        for d in self.datasets:
+            d.add_random_shot_noise_to_dataset(signal_power_range, rng=rng)
+
+    # reference ConcatDataset API (XLFMDataset.py:269-395) -----------------
+    def getSamplePath(self, index):
+        """Path of the dataset owning a global sample index
+        (XLFMDataset.py:269-284)."""
+        di, _ = self.locate(index)
+        return self.datasets[di].data_path
+
+    def mean(self, axis=0):
+        """Per-fish mean of the GT volumes, stacked on a leading fish axis
+        (XLFMDataset.py:304-313; the reference permutes its (H, W, D, F)
+        concat to fish-major — ours is fish-major by construction,
+        (F, D, H, W) in our volume layout)."""
+        return np.stack([d.vols.astype(np.float32).mean(axis)
+                         for d in self.datasets])
+
+    def std(self, axis=0):
+        """Per-fish std of the GT volumes (XLFMDataset.py:293-302;
+        torch's unbiased ddof=1 estimator)."""
+        return np.stack([d.vols.astype(np.float32).std(axis, ddof=1)
+                         for d in self.datasets])
+
+    def get_max(self):
+        """Global (max_imgs, max_imgs_sparse, max_vols) across all fish,
+        cached (XLFMDataset.py:341-360).  No sparse channel in our layout,
+        so the sparse max equals the image max (the reference's own
+        non-sparse branch does the same)."""
+        if self.max_values is None:
+            maxes = [d.get_max() for d in self.datasets]
+            self.max_values = [max(m[0] for m in maxes),
+                               max(m[1] for m in maxes),
+                               max(m[2] for m in maxes)]
+        return self.max_values
+
+    def normalize_datasets(self):
+        """Rescale every fish to the global max (XLFMDataset.py:362-382):
+        each dataset's views/volumes are divided by their OWN max and
+        multiplied by the global max, equalizing peak intensity across
+        fish."""
+        mx = self.get_max()
+        for d in self.datasets:
+            d.stacked_views = (d.stacked_views
+                               / float(d.stacked_views.max()) * mx[0]
+                               ).astype(d.stacked_views.dtype)
+            d.vols = (d.vols / float(d.vols.max()) * mx[2]
+                      ).astype(d.vols.dtype)
+
+    def standarize_datasets(self, stats: DatasetStatistics | None = None):
+        """Standardize every fish with shared statistics
+        (XLFMDataset.py:384-395); computes them when not given."""
+        if stats is None:
+            stats = self.get_statistics()
+        for d in self.datasets:
+            d.standardize(stats)
+        return stats
 
 
 def apply_volume_norm(vols: np.ndarray, norm, volume_ths) -> np.ndarray:

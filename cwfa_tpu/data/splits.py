@@ -35,18 +35,25 @@ def _as_count(v):
 
 
 def resolve_train_indices(images_to_use, cv: int = 1, n_datasets: int = 1,
-                          group_ratio: float | None = None):
+                          group_ratio=None):
     """Training frame indices per dataset (main.py:195-216).
 
-    group_ratio: len(groups[0].train) / len(groups[cv].train), applied for
-    folds >= 5 (main.py:195-196).
+    group_ratio: the fold-size rescale for folds >= 5 (main.py:195-196).
+    Pass the pair ``(len(groups[0].train), len(groups[cv].train))`` for the
+    reference's exact floor arithmetic ``n*len0 // lenCV``; a bare float
+    ratio is accepted too but can round one lower near integer boundaries
+    (e.g. n=3, ratio 1/3: int(3*0.333...) = 0 vs the reference's 1).
     """
     v = _as_count(images_to_use)
     if isinstance(v, (list, tuple)):
         return [int(i) + START_SAMPLE for i in v]
     n = int(v)
     if cv >= 5 and group_ratio:
-        n = int(n * group_ratio)
+        if isinstance(group_ratio, (tuple, list)):
+            len0, len_cv = group_ratio
+            n = n * int(len0) // max(int(len_cv), 1)
+        else:
+            n = int(n * group_ratio)
     if cv < 30:
         n = max(n // max(int(n_datasets), 1), 1)
     n_samples = max(N_SAMPLES, n)

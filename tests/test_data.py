@@ -79,3 +79,103 @@ def test_synthetic_dataset_roundtrip(tmp_path):
     v = extract_views(jnp.asarray(ds.stacked_views), idx)
     assert v.shape == (3, 4, 32, 32)
     assert float(jnp.max(v)) > 0
+
+
+def test_shot_noise_augmentation(tmp_path):
+    """add_random_shot_noise_to_dataset: the reference declares the
+    ConcatDataset delegator (XLFMDataset.py:397-405) but the leaf method
+    is absent there; ours implements the evident intent.  Checks: mean is
+    approximately preserved, noise is actually added, variance scales
+    with 1/signal_power, and the delegator hits every child."""
+    info = make_synthetic_dataset(str(tmp_path), n_fish=1, n_frames=2,
+                                  n_depths=8, vol_side=32, img_size=96,
+                                  n_lenslets=4, view_size=32)
+    fish = info["fish_dirs"][0] + "/SLNet_preprocessed"
+
+    def fresh():
+        return load_xlfm_data(fish, info["lenslet_file"],
+                              vol_shape=(32, 32, 8), img_shape=(96, 96),
+                              images_to_use=[0, 1], n_depths_to_fill=8)
+
+    ds = fresh()
+    clean = ds.stacked_views.copy()
+    ds.add_random_shot_noise_to_dataset((32 ** 2, 32 ** 2), rng=0)
+    noisy = ds.stacked_views
+    assert not np.allclose(noisy, clean)
+    # scaling preserves the mean in expectation (Poisson mean = rate)
+    assert abs(noisy.mean() - clean.mean()) / max(clean.mean(), 1e-9) < 0.05
+
+    # lower signal power -> relatively noisier
+    lo_ds, hi_ds = fresh(), fresh()
+    lo_ds.add_random_shot_noise_to_dataset((4 ** 2, 4 ** 2), rng=1)
+    hi_ds.add_random_shot_noise_to_dataset((64 ** 2, 64 ** 2), rng=1)
+    lo_err = np.abs(lo_ds.stacked_views - clean).mean()
+    hi_err = np.abs(hi_ds.stacked_views - clean).mean()
+    assert lo_err > hi_err
+
+    # delegator touches every child dataset
+    a, b = fresh(), fresh()
+    cat = ConcatXLFMDataset(a, b)
+    before = [a.stacked_views.copy(), b.stacked_views.copy()]
+    cat.add_random_shot_noise_to_dataset((32 ** 2, 32 ** 2), rng=2)
+    assert not np.allclose(a.stacked_views, before[0])
+    assert not np.allclose(b.stacked_views, before[1])
+
+
+def test_concat_dataset_reference_api(tmp_path):
+    """The reference ConcatDataset surface: getSamplePath, mean/std,
+    get_max caching, normalize_datasets (global-max equalization),
+    standarize_datasets (XLFMDataset.py:269-395)."""
+    info = make_synthetic_dataset(str(tmp_path), n_fish=2, n_frames=2,
+                                  n_depths=8, vol_side=32, img_size=96,
+                                  n_lenslets=4, view_size=32)
+
+    def load(i):
+        return load_xlfm_data(info["fish_dirs"][i] + "/SLNet_preprocessed",
+                              info["lenslet_file"], vol_shape=(32, 32, 8),
+                              img_shape=(96, 96), images_to_use=[0, 1],
+                              n_depths_to_fill=8)
+
+    a, b = load(0), load(1)
+    # make the two fish clearly different in scale
+    b.stacked_views *= 2.0
+    b.vols *= 3.0
+    cat = ConcatXLFMDataset(a, b)
+
+    # leaf accessors
+    assert a.get_n_depths() == 8
+    assert a.len_lenslets() == 4
+    assert a.get_lenslets_coords().shape == (4, 2)
+    np.testing.assert_allclose(
+        a.standarize_sample(np.array([3.0]), 1.0, 2.0), [1.0])
+
+    # getSamplePath resolves the owning fish for a global index
+    assert cat.getSamplePath(0) == a.data_path
+    assert cat.getSamplePath(len(a)) == b.data_path
+
+    # per-fish mean/std volumes, fish-major
+    m = cat.mean()
+    s = cat.std()
+    assert m.shape == (2, 8, 32, 32) and s.shape == m.shape
+    np.testing.assert_allclose(m[1], b.vols.mean(0), rtol=1e-6)
+    np.testing.assert_allclose(s[0], a.vols.std(0, ddof=1), rtol=1e-5)
+
+    # get_max: global maxes, cached
+    mx = cat.get_max()
+    assert mx[0] == max(a.stacked_views.max(), b.stacked_views.max())
+    assert mx[1] == mx[0]  # no sparse channel
+    assert mx[2] == max(a.vols.max(), b.vols.max())
+    assert cat.get_max() is mx
+
+    # normalize_datasets equalizes per-fish peaks to the global max
+    cat.normalize_datasets()
+    for d in (a, b):
+        np.testing.assert_allclose(d.stacked_views.max(), mx[0], rtol=1e-5)
+        np.testing.assert_allclose(d.vols.max(), mx[2], rtol=1e-5)
+
+    # standarize_datasets: shared stats -> pooled data ~N(0, 1)
+    stats = cat.standarize_datasets()
+    pooled = np.concatenate([a.vols.ravel(), b.vols.ravel()])
+    assert abs(pooled.mean()) < 1e-3
+    assert abs(pooled.std(ddof=1) - 1.0) < 1e-3
+    assert stats.std_vols > 0

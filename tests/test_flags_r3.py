@@ -29,6 +29,23 @@ def test_train_indices_interleaved_stride():
     assert len(idx3) == 50
 
 
+def test_train_indices_fold_rescale_floor_division():
+    # main.py:195-196: for folds >= 5, n = n*len(groups[0].train) //
+    # len(groups[cv].train) BEFORE the //n_datasets split.  The integer
+    # pair form replays the reference's floor arithmetic exactly where a
+    # float ratio would round low (3 * (1/3) -> int(0.999...) = 0).
+    idx = splits.resolve_train_indices(3, cv=5, n_datasets=1,
+                                       group_ratio=(1, 3))
+    assert len(idx) == 1  # 3*1//3 = 1
+    idx = splits.resolve_train_indices(50, cv=5, n_datasets=1,
+                                       group_ratio=(7, 3))
+    assert len(idx) == 116  # 50*7//3
+    # folds < 5 ignore the rescale
+    idx = splits.resolve_train_indices(50, cv=1, n_datasets=1,
+                                       group_ratio=(7, 3))
+    assert len(idx) == 50
+
+
 def test_train_indices_list_passthrough():
     assert splits.resolve_train_indices([3, 7, 9]) == [3, 7, 9]
     # a 1-element list collapses to its int (main.py:209-210)

@@ -71,6 +71,8 @@ def test_deconvolve_cli(rig, tmp_path):
         "--n_depths", str(N_DEPTHS),
         "--vol_xy_size", str(VOL_SIDE),
         "--img_size", str(IMG),
+        "--dark_current", "0",
+        "--main_gpu", "0",
     ])
     import glob
     import os
