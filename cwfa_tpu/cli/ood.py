@@ -40,7 +40,13 @@ def main(argv=None):
 
     groups, paths = cross_validation_groups(cfg.main_data_path,
                                             bool(cfg.use_sparse_for_all))
-    cv = int(cfg.cross_validation_nFold) % max(len(groups), 1)
+    # the fold index is a direct group KEY (leave-one-out 0..n-1,
+    # single-fish 30..30+n-1) — no modulo remap (see cli/train.py)
+    cv = int(cfg.cross_validation_nFold)
+    if cv not in groups and groups:
+        raise SystemExit(
+            f"--cross_validation_nFold {cv} is not a valid fold; "
+            f"available folds: {sorted(groups)}")
     test_names = groups.get(cv, {"test": list(paths)})["test"]
 
     img_shape = (args.img_size, args.img_size)

@@ -100,7 +100,18 @@ def main(argv=None):
 
     groups, paths = cross_validation_groups(cfg.main_data_path,
                                             bool(cfg.use_sparse_for_all))
-    cv = int(cfg.cross_validation_nFold) % max(len(groups), 1)
+    # the fold index is a direct group KEY (reference main.py:181-187
+    # indexes cross_validation_groups[nFold]): leave-one-out folds are
+    # 0..n_fish-1, single-fish folds 30..30+n_fish-1.  No modulo remap —
+    # fold 30 must select the single-fish group, not fold 30 % len(groups),
+    # because splits.py's fold arithmetic (cv<30 dataset division, cv>=5
+    # rescale) keys on the SAME number.
+    cv = int(cfg.cross_validation_nFold)
+    if cv not in groups and groups:
+        raise SystemExit(
+            f"--cross_validation_nFold {cv} is not a valid fold; available "
+            f"folds: {sorted(groups)} (0..n-1 leave-one-fish-out, "
+            f"30..30+n-1 single-fish)")
     group = groups.get(cv, {"train": list(paths), "val": list(paths),
                             "test": list(paths)})
 
@@ -132,17 +143,20 @@ def main(argv=None):
         eval_idx = list(range(max(int(args.max_samples) // 2, 1)))
         test_idx = train_idx
     else:
-        train_idx = splits.resolve_train_indices(
+        train_idx, window_start = splits.resolve_train(
             cfg.images_to_use, cv=cv, n_datasets=len(group["train"]),
             group_ratio=ratio)
+        # eval/test windows start at the train resolution's n_samples
+        # (main.py:215,219-231) so big train runs and eval stay disjoint;
+        # only the TEST count rescales by group size (main.py:198-201),
+        # the finetune-val count never does (main.py:224-227)
         eval_idx = splits.resolve_eval_indices(
-            cfg.images_to_use_fine_tune_val, cv=cv,
-            n_datasets_test=len(group["test"]),
-            group0_train_len=len(groups.get(0, group)["train"]))
+            cfg.images_to_use_fine_tune_val, window_start=window_start)
         test_idx = splits.resolve_eval_indices(
-            cfg.images_to_use_test, cv=cv,
+            cfg.images_to_use_test,
             n_datasets_test=len(group["test"]),
-            group0_train_len=len(groups.get(0, group)["train"]))
+            group0_train_len=len(groups.get(0, group)["train"]),
+            window_start=window_start, rescale=True)
     train_ds = load_group(group["train"], train_idx)
     # finetune-val frames come from the TRAIN folders unless
     # --evaluation_dataset test (reference main.py:293-294)

@@ -44,9 +44,21 @@ def resolve_train_indices(images_to_use, cv: int = 1, n_datasets: int = 1,
     ratio is accepted too but can round one lower near integer boundaries
     (e.g. n=3, ratio 1/3: int(3*0.333...) = 0 vs the reference's 1).
     """
+    return resolve_train(images_to_use, cv=cv, n_datasets=n_datasets,
+                         group_ratio=group_ratio)[0]
+
+
+def resolve_train(images_to_use, cv: int = 1, n_datasets: int = 1,
+                  group_ratio=None):
+    """Like :func:`resolve_train_indices` but also returns the resolved
+    ``n_samples`` — the reference mutates its module-level ``n_samples``
+    to ``max(500, count)`` in the int branch (main.py:215) and the test/
+    finetune-val windows START there (main.py:219-231), keeping large
+    train runs and the eval windows disjoint.  Explicit index lists leave
+    it at 500, exactly as in the reference."""
     v = _as_count(images_to_use)
     if isinstance(v, (list, tuple)):
-        return [int(i) + START_SAMPLE for i in v]
+        return [int(i) + START_SAMPLE for i in v], N_SAMPLES
     n = int(v)
     if cv >= 5 and group_ratio:
         if isinstance(group_ratio, (tuple, list)):
@@ -58,24 +70,33 @@ def resolve_train_indices(images_to_use, cv: int = 1, n_datasets: int = 1,
         n = max(n // max(int(n_datasets), 1), 1)
     n_samples = max(N_SAMPLES, n)
     return list(range(START_SAMPLE, START_SAMPLE + n_samples,
-                      n_samples // n))[:n]
+                      n_samples // n))[:n], n_samples
 
 
-def resolve_eval_indices(images_to_use, cv: int = 1,
+def resolve_eval_indices(images_to_use,
                          n_datasets_test: int = 1,
-                         group0_train_len: int | None = None):
+                         group0_train_len: int | None = None,
+                         window_start: int = N_SAMPLES,
+                         rescale: bool = False):
     """Test / finetune-val frame indices (main.py:198-231): a contiguous
-    window starting at frame N_SAMPLES=500."""
+    window starting at ``window_start`` (= the train resolution's
+    ``n_samples``, see :func:`resolve_train`).
+
+    rescale=True replays main.py:198-201 — a single-element TEST list is
+    multiplied by ``len(groups[0].train) // n_datasets_test``.  The
+    reference applies it at EVERY fold (it sits directly under the
+    ``cross_validation_nFold is not None`` guard) and only to
+    ``images_to_use_test``, never to ``images_to_use_fine_tune_val``
+    (main.py:224-227 has no rescale)."""
     v = images_to_use
-    if (cv >= 5 and isinstance(v, (list, tuple)) and len(v) == 1
+    if (rescale and isinstance(v, (list, tuple)) and len(v) == 1
             and group0_train_len):
-        # main.py:198-201: single-element test lists rescale by group size
         v = [int(v[0]) * group0_train_len // max(int(n_datasets_test), 1)]
     v = _as_count(v)
     if isinstance(v, (list, tuple)):
         return [int(i) for i in v]
     n = int(v)
-    return list(range(N_SAMPLES, N_SAMPLES + n))[:n]
+    return list(range(window_start, window_start + n))[:n]
 
 
 def clamp_indices(indices, n_available: int):

@@ -86,9 +86,10 @@ class RoiTraceAccumulator:
       threshold, CWFA.py:300-303).
 
     Traces and maxima stream exactly.  The nonzero-voxel median streams
-    through a bounded reservoir sample (exact until ``reservoir_cap``
-    values have been seen, then an unbiased estimate — documented
-    approximation; the median only gates coord inclusion)."""
+    through a bounded uniform reservoir sample (Algorithm R, vectorized):
+    exact until ``reservoir_cap`` values have been seen, then an unbiased
+    uniform sample of the whole stream — documented approximation; the
+    median only gates coord inclusion."""
 
     def __init__(self, coords, r12: int = 5, r3: int = 3,
                  start_plane_offset: int = -12,
@@ -125,16 +126,29 @@ class RoiTraceAccumulator:
         self.pr_max = max(self.pr_max, float(pred_vol.max()))
         nz = gt_vol[gt_vol > 0].ravel()
         if nz.size:
+            # vectorized Algorithm R: the first `cap` values fill the
+            # reservoir verbatim (exact — everything seen is kept); every
+            # later value at global position t enters with prob cap/t into
+            # a uniform slot.  Duplicate slots keep the LAST (highest-t)
+            # write under numpy fancy assignment, matching the sequential
+            # algorithm's overwrite order, so the sample stays uniform over
+            # the whole stream — no per-frame replacement cap, no
+            # first-frame raster bias.
             if self._n_seen < self._cap:
-                take = nz[:max(self._cap - self._n_seen, 0)]
+                take = nz[:self._cap - self._n_seen]
                 self._res = np.concatenate([self._res, take])
+                rest = nz[take.size:]
+                base = self._n_seen + take.size
             else:
-                # reservoir replacement keeps the sample uniform
-                k = self._rng.randint(0, self._n_seen + nz.size,
-                                      size=min(nz.size, self._cap // 16))
-                repl = k[k < self._cap]
-                if repl.size:
-                    self._res[repl] = self._rng.choice(nz, repl.size)
+                rest = nz
+                base = self._n_seen
+            if rest.size:
+                t = base + np.arange(1, rest.size + 1, dtype=np.float64)
+                idx = np.flatnonzero(
+                    self._rng.random_sample(rest.size) < self._cap / t)
+                if idx.size:
+                    slots = self._rng.randint(0, self._cap, size=idx.size)
+                    self._res[slots] = rest[idx]
             self._n_seen += nz.size
         for ix, coord in enumerate(self.coords):
             zs, ys, xs, _ = self._roi_slices(gt_vol.shape, coord)

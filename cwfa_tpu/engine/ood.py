@@ -39,6 +39,12 @@ def detect_ood(trainer: CWFATrainer, dataset: ConcatXLFMDataset,
     cfg = trainer.cfg
     step = cfg.step_LL_to_use if step_ll_to_use is None else step_ll_to_use
     ths = cfg.step_LL_ths_to_use if threshold is None else threshold
+    if len(dataset) == 0:
+        nf = trainer.model.n_flow_steps
+        empty = np.zeros((0, nf), np.float32)
+        return OODResult(nll_per_frame=empty, scores=empty[:, 0],
+                         is_ood=empty[:, 0] > ths, threshold=ths,
+                         step_used=step)
     trainer.ensure_mean_caches(dataset)
     # batched scoring: frames go through the jitted forward pyramid in
     # cfg.batch_size mini-batches with per-sample NLLs (the reference's

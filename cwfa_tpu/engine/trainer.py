@@ -99,6 +99,18 @@ def snapshot_sources(output_path: str, pattern: str = "*.py"):
 class CWFATrainer:
     """Stage-scheduled trainer + evaluator for a CWFAModel."""
 
+    # params is a property so every reassignment bumps _params_version —
+    # the NLL cache (parameter-DEPENDENT, unlike the wavelet gt_cache) is
+    # keyed on it and goes stale the moment training updates any weights.
+    @property
+    def params(self):
+        return self._params
+
+    @params.setter
+    def params(self, value):
+        self._params = value
+        self._params_version = getattr(self, "_params_version", -1) + 1
+
     def __init__(self, model: CWFAModel, stats: DatasetStatistics,
                  view_indices: dict, output_path: str | None = None,
                  seed: int | None = None):
@@ -369,8 +381,11 @@ class CWFATrainer:
                                                      self._next_key())
             self.gt_cache[tag][ix] = cache
             # per-frame NLLs ride along (the batched evaluator reuses them
-            # instead of re-running the forward, VERDICT r2 Weak #2)
-            self.nll_cache.setdefault(tag, {})[ix] = np.asarray(nlls)[:, 0]
+            # instead of re-running the forward, VERDICT r2 Weak #2);
+            # version-stamped: they depend on the flow params, so any
+            # training step invalidates them (the gt pyramid does not)
+            self.nll_cache.setdefault(tag, {})[ix] = (
+                self._params_version, np.asarray(nlls)[:, 0])
         return self.gt_cache[tag][ix]
 
     # ----------------------------------------------------------- training
@@ -486,12 +501,14 @@ class CWFATrainer:
         correlation of temporal traces is computed (corr_coeff_3D,
         CWFA.py:240-379).
         """
-        self.ensure_mean_caches(dataset)
         nf = self.model.n_flow_steps
         cfg = self.cfg
         res = {"psnr": [], "MAPE": [], "times": [], "volumes_pred": [],
                "volumes_gt": [], "nll": [], "CC": None,
                "projections_gt": [], "projections_predicted": []}
+        if len(dataset) == 0:
+            return res      # nothing to evaluate; keep the result shape
+        self.ensure_mean_caches(dataset)
         from cwfa_tpu.utils.projections import volume_2_projections
 
         # streaming TIFF dump setup (CWFA.py:1047-1055): writes run on a
@@ -596,14 +613,19 @@ class CWFATrainer:
                 if di in accs:
                     accs[di].add(gt_out, pred_out)
                 # per-frame NLL: cached by the GT-pyramid pass (the
-                # reference re-ran the forward a second time here)
-                nll = self.nll_cache.get(tag, {}).get(ix)
-                if nll is None:   # cold cache (cleared between phases)
+                # reference re-ran the forward a second time here); a
+                # stale params version is a miss — NLLs must reflect the
+                # CURRENT weights, not the ones of the caching pass
+                entry = self.nll_cache.get(tag, {}).get(ix)
+                if entry is not None and entry[0] == self._params_version:
+                    nll = entry[1]
+                else:
                     _, vol, _ = self._sample_inputs(dataset, ix)
                     nlls, _, _, _ = self._pyramid(self.params, vol,
                                                   self._next_key())
                     nll = np.asarray(nlls)[:, 0]
-                    self.nll_cache.setdefault(tag, {})[ix] = nll
+                    self.nll_cache.setdefault(tag, {})[ix] = (
+                        self._params_version, nll)
                 res["nll"].append(nll)
                 frame_no += 1
 

@@ -60,6 +60,36 @@ def test_eval_indices_window_from_500():
     assert splits.resolve_eval_indices([5]) == list(range(500, 505))
 
 
+def test_eval_window_follows_train_n_samples():
+    # main.py:215: n_samples = max(500, train count); the test/val windows
+    # start THERE (main.py:219-231), so a 1200-frame train request with 2
+    # fish (600 each) pushes eval to frame 600+ — no train/eval overlap.
+    train_idx, window = splits.resolve_train(1200, cv=1, n_datasets=2)
+    assert window == 600
+    assert train_idx == list(range(0, 600))
+    ev = splits.resolve_eval_indices(5, window_start=window)
+    assert ev == [600, 601, 602, 603, 604]
+    assert not set(train_idx) & set(ev)
+    # explicit index lists leave the window at 500 (n_samples untouched)
+    _, window = splits.resolve_train([1, 2, 3])
+    assert window == 500
+
+
+def test_eval_test_list_rescale_any_fold_val_never():
+    # main.py:198-201 sits directly under the cv-is-not-None guard: the
+    # single-element TEST list rescale applies at EVERY fold...
+    got = splits.resolve_eval_indices([250], n_datasets_test=1,
+                                      group0_train_len=4, rescale=True)
+    assert got == list(range(500, 500 + 1000))  # 250*4//1
+    # ...but a bare int never rescales (the reference only rescales the
+    # list form), and fine-tune-val (rescale=False) never rescales
+    assert len(splits.resolve_eval_indices(250, n_datasets_test=1,
+                                           group0_train_len=4,
+                                           rescale=True)) == 250
+    assert len(splits.resolve_eval_indices([250], n_datasets_test=1,
+                                           group0_train_len=4)) == 250
+
+
 def test_clamp_indices_small_dataset():
     assert splits.clamp_indices([500, 501, 502], 10) == [0, 1, 2]
     assert splits.clamp_indices([2, 8, 40], 10) == [2, 8]
@@ -205,3 +235,32 @@ def test_roi_accumulator_matches_batch_path():
     cc_stream, rec_stream = acc.finalize(filter_width=3)
     np.testing.assert_allclose(cc_stream, cc_batch, rtol=1e-9)
     assert len(rec_stream) == len(rec_batch)
+
+
+def test_roi_reservoir_uniform_after_overflow():
+    """Algorithm-R reservoir: once past the cap, the sample must stay
+    uniform over the WHOLE stream — no first-frame bias, no per-frame
+    replacement cap.  Stream 10 frames with disjoint value ranges and a
+    tiny cap; each frame should hold ~1/10 of the slots and the reservoir
+    median should track the true stream median."""
+    from cwfa_tpu.engine.metrics import RoiTraceAccumulator
+
+    cap = 2000
+    acc = RoiTraceAccumulator([(2, 2, 0)], reservoir_cap=cap, seed=3)
+    n_per = 5000
+    for f in range(10):
+        # frame f's voxels all lie in [f+1, f+2) -> provenance readable
+        vals = np.random.RandomState(f).rand(4, 50, 25) + (f + 1)
+        acc.add(vals, vals)
+    assert acc._res.size == cap
+    assert acc._n_seen == 10 * n_per
+    frac_per_frame = np.array([
+        ((acc._res >= f + 1) & (acc._res < f + 2)).mean()
+        for f in range(10)])
+    # uniform -> each frame ~0.1; the old code kept frame 0 at ~0.4 and
+    # starved the tail
+    assert frac_per_frame.max() < 0.2
+    assert frac_per_frame.min() > 0.03
+    true_median = np.median(np.concatenate(
+        [np.random.RandomState(f).rand(n_per) + (f + 1) for f in range(10)]))
+    assert abs(float(np.median(acc._res)) - true_median) < 0.25

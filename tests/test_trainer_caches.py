@@ -142,3 +142,23 @@ def test_evaluate_batched_matches_batch1(rig, tmp_path):
     # NLLs come from the SHARED GT-pyramid cache: exactly equal
     np.testing.assert_allclose(np.stack(rN["nll"]), np.stack(r1["nll"]),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_nll_cache_invalidated_on_param_update(rig):
+    """Per-frame NLLs depend on the flow parameters: any params update must
+    invalidate the cached values (the GT wavelet pyramid itself is
+    parameter-independent and may persist).  Regression: the round-3 cache
+    returned epoch-0 NLLs forever."""
+    tr = CWFATrainer(rig["model"], rig["stats"], rig["vidx"], seed=3)
+    r0 = tr.evaluate(rig["cat"], "val", save_volumes=False)
+    v0 = tr._params_version
+    # a parameter update (here: scale every weight) bumps the version...
+    tr.params = jax.tree_util.tree_map(lambda x: x * 1.5, tr.params)
+    assert tr._params_version == v0 + 1
+    # ...and the next evaluate recomputes NLLs with the NEW params while
+    # reusing the parameter-independent GT pyramids
+    pyr_ids = {ix: id(c) for ix, c in tr.gt_cache["val"].items()}
+    r1 = tr.evaluate(rig["cat"], "val", save_volumes=False)
+    assert not np.allclose(np.stack(r0["nll"]), np.stack(r1["nll"]))
+    assert all(id(tr.gt_cache["val"][ix]) == pid
+               for ix, pid in pyr_ids.items())
