@@ -62,10 +62,6 @@ def main(argv=None):
     lenslet = args.lenslet_file or os.path.join(
         os.path.dirname(args.data_folder.rstrip("/")),
         "lenslet_centers_python.txt")
-    ds = XLFMDataset(args.data_folder, lenslet,
-                     img_shape=(args.img_size, args.img_size),
-                     images_to_use=args.images_to_use, load_vols=False)
-
     vol_shape = (args.vol_xy_size, args.vol_xy_size, args.n_depths)
     otf, psf_hw, full_hw = load_psf_otf(args.psf_file, vol_shape)
 
@@ -84,7 +80,9 @@ def main(argv=None):
 
     def frames():
         """Stream frames; the native prefetcher decodes frame n+1 on a
-        background thread while the TPU deconvolves frame n."""
+        background thread while the TPU deconvolves frame n.  The dataset
+        fallback is constructed LAZILY — eagerly decoding the whole stack
+        up front would double the host-I/O the prefetcher exists to hide."""
         try:
             from cwfa_tpu.data.native_tiff import PrefetchingTiffReader
             path = os.path.join(args.data_folder, "XLFM_image",
@@ -94,13 +92,20 @@ def main(argv=None):
                 for page_ix, frame in it:
                     from cwfa_tpu.data.dataset import (_pad_to_square_img,
                                                        _center_crop_img)
-                    im = _center_crop_img(
-                        _pad_to_square_img(frame.astype(np.float32)),
-                        (args.img_size, args.img_size))
+                    # same hygiene as XLFMDataset.__init__ (reference
+                    # XLFMDataset.py:101-104): NaN/Inf would NaN the first
+                    # RL ratio and freeze the volume at the ones init
+                    im = np.clip(np.nan_to_num(frame.astype(np.float32)),
+                                 0, 50000)
+                    im = _center_crop_img(_pad_to_square_img(im),
+                                          (args.img_size, args.img_size))
                     yield page_ix, im
             return
         except Exception:
             pass
+        ds = XLFMDataset(args.data_folder, lenslet,
+                         img_shape=(args.img_size, args.img_size),
+                         images_to_use=args.images_to_use, load_vols=False)
         for pos, img_ix in enumerate(args.images_to_use[: len(ds)]):
             yield img_ix, ds.stacked_views[pos]
 
@@ -110,7 +115,8 @@ def main(argv=None):
         vol, _ = xlfm_deconvolve(
             otf, jnp.asarray(views), n_iter=args.n_it,
             obj_hw=(args.vol_xy_size, args.vol_xy_size),
-            roi_depths=min(90, args.n_depths), depth_chunk=depth_chunk)
+            roi_depths=min(90, args.n_depths), depth_chunk=depth_chunk,
+            full_hw=full_hw)
         last_vol = np.asarray(vol)[0]
         write_tiff_stack(
             os.path.join(stack_path, f"XLFM_stack_{img_ix:03d}.tif"), last_vol)

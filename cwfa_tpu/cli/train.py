@@ -226,7 +226,13 @@ def main(argv=None):
 
     results = trainer.fit(train_ds, val_ds, test_ds, verbose=True,
                           neural_coords=neural_coords)
+    # final results block: per-layer table, final scalars, save_images
+    # composites, stack MIP TIFFs (reference CWFA.py:1182-1288)
+    trainer.finalize_results(results, output_posfix=prefix)
     for tag, res in results.items():
+        if not res["times"]:          # empty split (evaluate's guard shape)
+            print(f"[{tag}] no frames evaluated")
+            continue
         psnr = np.mean([r[0] for r in res["psnr"]]) if res["psnr"] else 0
         print(f"[{tag}] level-0 PSNR {psnr:.3f}  mean time "
               f"{np.mean(res['times']):.4f}s  min {np.min(res['times']):.4f}s")

@@ -36,26 +36,33 @@ def read_lenslet_centers(filename: str) -> np.ndarray:
 
 
 def _pad_to_square_img(img: np.ndarray) -> np.ndarray:
-    """reference pad_img_to_min (XLFMDataset.py:15-25)."""
+    """reference pad_img_to_min (XLFMDataset.py:15-25): despite the name,
+    the F.pad widths ``(min - dim)//2`` are never positive, so the op
+    CROPS the larger dimension symmetrically down to the smaller one
+    (an odd difference crops one pixel extra — ``(min-w)//2`` floors
+    toward -inf, replayed here)."""
     h, w = img.shape[-2:]
     m = min(h, w)
-    pw, ph = m - w, m - h
-    pads = [(ph // 2, ph // 2), (pw // 2, pw // 2)]
-    if any(p < 0 for pr in pads for p in pr):
-        return img  # larger than square target: leave to center_crop
-    return np.pad(img, pads)
+    ch = -((m - h) // 2)          # per-side crop (>= 0)
+    cw = -((m - w) // 2)
+    return img[..., ch:h - ch or None, cw:w - cw or None]
 
 
 def _center_crop_img(img: np.ndarray, target_hw) -> np.ndarray:
+    """reference center_crop (XLFMDataset.py:27-40) generalized: the
+    reference only slices (inputs are always >= 2160^2); ours also
+    zero-pads dimensions SMALLER than the target (tiny synthetic rigs),
+    each dimension handled independently so mixed pad/crop shapes work."""
     h, w = img.shape[-2:]
-    dy = (h - target_hw[0]) // 2
-    dx = (w - target_hw[1]) // 2
-    if dy < 0 or dx < 0:
-        out = np.zeros(target_hw, img.dtype)
-        oy, ox = (-dy), (-dx)
-        out[oy:oy + h, ox:ox + w] = img
-        return out
-    return img[dy:dy + target_hw[0], dx:dx + target_hw[1]]
+    th, tw = target_hw
+    sy, sx = max((h - th) // 2, 0), max((w - tw) // 2, 0)
+    ch, cw = min(h, th), min(w, tw)
+    if ch == th and cw == tw:
+        return img[..., sy:sy + th, sx:sx + tw]
+    out = np.zeros(img.shape[:-2] + (th, tw), img.dtype)
+    dy, dx = max((th - h) // 2, 0), max((tw - w) // 2, 0)
+    out[..., dy:dy + ch, dx:dx + cw] = img[..., sy:sy + ch, sx:sx + cw]
+    return out
 
 
 def _center_crop_vol_spatial(vol: np.ndarray, side_hw) -> np.ndarray:

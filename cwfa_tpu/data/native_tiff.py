@@ -136,6 +136,10 @@ class PrefetchingTiffReader:
         n = lib.tiff_num_pages(self._h)
         self._pages = list(range(n)) if pages is None else [p for p in pages
                                                             if p < n]
+        if not self._pages:
+            lib.tiff_close(self._h)
+            raise IOError(f"no pages selected from {path!r} "
+                          f"(requested {pages!r} of {n})")
         dims = (ctypes.c_int64 * 2)()
         dt = ctypes.c_int()
         if lib.tiff_page_info(self._h, self._pages[0], dims,

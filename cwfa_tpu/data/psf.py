@@ -16,20 +16,13 @@ from cwfa_tpu.ops.fft_conv import precompute_otf
 
 
 def _pad_to_square(psf: np.ndarray) -> np.ndarray:
-    """Square-pad the trailing 2 dims (reference pad_img_to_min,
-    XLFMDataset.py:15-25 — note it uses min(), shrinking is not supported, so
-    this pads the smaller dim up symmetrically with floor halves)."""
-    h, w = psf.shape[-2:]
-    m = min(h, w)
-    ph, pw = (m - h) // 2, (m - w) // 2
-    if ph < 0 or pw < 0:  # crop down to square like F.pad with negative pads
-        psf = psf[..., max(-ph, 0):h - max(-ph, 0) or None,
-                  max(-pw, 0):w - max(-pw, 0) or None]
-        h, w = psf.shape[-2:]
-        m = min(h, w)
-    pads = [(0, 0)] * (psf.ndim - 2) + [((m - h) // 2, (m - h) - (m - h) // 2),
-                                        ((m - w) // 2, (m - w) - (m - w) // 2)]
-    return np.pad(psf, pads)
+    """reference pad_img_to_min applied to the PSF (utils.py:574): crops
+    the larger trailing dim symmetrically down to the smaller one — same
+    semantics (incl. the odd-difference extra pixel) as the camera-frame
+    path.  The old two-stage crop-then-pad here raised on odd-difference
+    PSFs (negative np.pad widths)."""
+    from cwfa_tpu.data.dataset import _pad_to_square_img
+    return _pad_to_square_img(psf)
 
 
 def load_psf(source, depths_to_use=-1, interleaved: bool = True) -> np.ndarray:

@@ -67,7 +67,10 @@ def resolve_train(images_to_use, cv: int = 1, n_datasets: int = 1,
         else:
             n = int(n * group_ratio)
     if cv < 30:
-        n = max(n // max(int(n_datasets), 1), 1)
+        n = n // max(int(n_datasets), 1)
+    n = max(n, 1)       # guard EVERY path: n=0 (count 0, or the fold
+                        # rescale flooring to 0) would divide by zero in
+                        # the stride below (the reference crashes there)
     n_samples = max(N_SAMPLES, n)
     return list(range(START_SAMPLE, START_SAMPLE + n_samples,
                       n_samples // n))[:n], n_samples

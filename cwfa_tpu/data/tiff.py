@@ -34,6 +34,10 @@ def read_tiff_stack(path: str, pages=None) -> np.ndarray:
             break
         im.seek(i)
         out.append(np.asarray(im, dtype=np.float32))
+    if not out:
+        raise ValueError(
+            f"no pages selected from {path!r}: requested {list(pages)!r} "
+            f"of {n} available (empty images_to_use or all out of range)")
     return np.stack(out)
 
 
@@ -63,3 +67,51 @@ def write_tiff_stack(path: str, stack: np.ndarray):
     mode = "F" if stack.dtype == np.float32 else None
     pages = [Image.fromarray(p, mode=mode) for p in stack]
     pages[0].save(path, format="TIFF", save_all=True, append_images=pages[1:])
+
+
+class BackgroundTiffWriter:
+    """Background thread draining (path, array) TIFF-write jobs from a
+    bounded queue, so ~100 MB volume serialization overlaps device compute
+    instead of adding to it.  Shared by the streaming reconstruction
+    service (engine/serving.serve_directory) and the evaluator
+    (engine/trainer.evaluate).
+
+    Failure contract: a write exception is recorded and surfaced on the
+    NEXT put()/close() on the caller's thread (a silently-dead writer
+    would deadlock the bounded queue); after a failure remaining jobs are
+    drained and dropped."""
+
+    def __init__(self, maxsize: int = 16):
+        import queue
+        import threading
+        self.errors: list = []
+        self._q: "queue.Queue" = queue.Queue(maxsize=maxsize)
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if self.errors:
+                continue               # drain after failure
+            path, arr = item
+            try:
+                write_tiff_stack(path, arr)
+            except Exception as e:     # surfaced on the caller's thread
+                self.errors.append(e)
+
+    def _check(self):
+        if self.errors:
+            raise RuntimeError("volume writer failed") from self.errors[0]
+
+    def put(self, path: str, arr: np.ndarray):
+        self._check()
+        self._q.put((path, arr))
+
+    def close(self):
+        """Flush remaining jobs, join the thread, surface any failure."""
+        self._q.put(None)
+        self._t.join()
+        self._check()

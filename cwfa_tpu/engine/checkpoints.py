@@ -36,8 +36,13 @@ def _to_numpy(tree):
 def save_step_checkpoint(path: str, step: int, epoch: int, cfg: CWFAConfig,
                          inn_params=None, cond_params=None, opt_state=None,
                          train_statistics: DatasetStatistics | None = None,
-                         posfix: str = ""):
-    """Write ``<path>/model_step_<step>__ep_<epoch><posfix>.msgpack``."""
+                         posfix: str = "", model_state=None):
+    """Write ``<path>/model_step_<step>__ep_<epoch><posfix>.msgpack``.
+
+    model_state: non-parameter model state riding with the LRNN step (the
+    UNet BatchNorm running statistics — load-bearing for eval-mode
+    inference; the reference's torch state_dict carries them inside
+    condition_state_dict, our functional split keeps them separate)."""
     os.makedirs(path, exist_ok=True)
     payload = {
         "epoch": epoch,
@@ -48,6 +53,8 @@ def save_step_checkpoint(path: str, step: int, epoch: int, cfg: CWFAConfig,
                                  if cond_params is not None else {}),
         "optimizer_state_dict": (_to_numpy(opt_state)
                                  if opt_state is not None else {}),
+        "model_state_dict": (_to_numpy(model_state)
+                             if model_state is not None else {}),
         "training_statistics": (list(train_statistics.astuple())
                                 if train_statistics is not None else []),
     }

@@ -163,7 +163,14 @@ class RoiTraceAccumulator:
     def finalize(self, minmax_ths: float = 50.0, filter_width: int = 10):
         """The reference's scoring loop with adaptive threshold halving
         (CWFA.py:276-335) on the accumulated traces.  Returns
-        (corr_coeffs, records) exactly like ``corr_coeff_3d``."""
+        (corr_coeffs, records) exactly like ``corr_coeff_3d``.
+
+        Parity quirk replayed deliberately: the reference's retry loop
+        never resets ``all_corr_coeffs`` between threshold halvings
+        (CWFA.py:277,322-335), so coords that already passed are appended
+        again on each retry and the mean double-counts them; we keep the
+        same behavior (and the same early-coord record duplication) so CC
+        numbers and CSVs match the reference's."""
         gmax = max(self.gt_max, 1e-12)
         pmax = max(self.pr_max, 1e-12)
         d_shape_med = (float(np.median(self._res)) / gmax

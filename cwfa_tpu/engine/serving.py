@@ -172,38 +172,14 @@ def serve_directory(reconstructor, batch_size, img_hw, in_dir, out_dir,
     TIFF serialization overlaps the TPU compute instead of adding to it.
 
     Returns the stats summary dict."""
-    import queue
-    import threading
-
-    from cwfa_tpu.data.tiff import read_tiff_stack, write_tiff_stack
+    from cwfa_tpu.data.tiff import BackgroundTiffWriter, read_tiff_stack
 
     os.makedirs(out_dir, exist_ok=True)
-    q: "queue.Queue" = queue.Queue(maxsize=2 * batch_size)
-    writer_error: list = []
-
-    def writer():
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            if writer_error:               # already failed: drain and drop
-                continue
-            frame_id, vol = item
-            try:
-                write_tiff_stack(
-                    os.path.join(out_dir, f"XLFM_stack_{frame_id}.tif"),
-                    vol.astype(out_dtype))
-            except Exception as e:         # surface on the main thread —
-                writer_error.append(e)     # a dead writer would deadlock
-                                           # the bounded queue silently
-
-    wt = threading.Thread(target=writer, daemon=True)
-    wt.start()
+    writer = BackgroundTiffWriter(maxsize=2 * batch_size)
 
     def enqueue(i, v):
-        if writer_error:
-            raise RuntimeError("volume writer failed") from writer_error[0]
-        q.put((i, v))
+        writer.put(os.path.join(out_dir, f"XLFM_stack_{i}.tif"),
+                   v.astype(out_dtype))
 
     svc = ReconstructionService(reconstructor, batch_size, img_hw,
                                 on_volume=enqueue)
@@ -244,10 +220,7 @@ def serve_directory(reconstructor, batch_size, img_hw, in_dir, out_dir,
             svc.flush_partial()
         time.sleep(poll_seconds)
     out = svc.drain()
-    q.put(None)
-    wt.join()
-    if writer_error:
-        raise RuntimeError("volume writer failed") from writer_error[0]
+    writer.close()
     if verbose:
         print(f"served {out['frames']} frames: {out['throughput_fps']} fps, "
               f"p95 batch latency {out['batch_latency_p95_s']} s")

@@ -91,6 +91,13 @@ def convert_graph_inn(sd, n_blocks: int, use_final_perm: bool):
         perm = np.asarray(sd[p + ".perm"], np.int64)
         inv = np.asarray(sd[p + ".perm_inv"], np.int64)
         perms.append((perm.astype(np.int32), inv.astype(np.int32)))
+    expected = n_blocks + (1 if use_final_perm else 0)
+    if len(perms) != expected:
+        raise ValueError(
+            f"checkpoint carries {len(perms)} permutation modules but the "
+            f"config (n_blocks={n_blocks}, use_final_perm={use_final_perm}) "
+            f"expects {expected} — --INN_n_blocks/--INN_use_perm disagree "
+            f"with the checkpoint's architecture")
     return params, perms
 
 
@@ -102,6 +109,13 @@ def apply_perm_overrides(spec, perms):
     axis is kept — correct whenever the checkpoint was built with the same
     construction-order seeding."""
     import dataclasses
+    if len(perms) != len(spec.perms):
+        raise ValueError(
+            f"checkpoint has {len(perms)} permutation buffers but the "
+            f"configured architecture expects {len(spec.perms)} — the "
+            f"checkpoint was built with different --INN_n_blocks/"
+            f"--INN_use_perm settings (a silent zip would apply wrong "
+            f"permutations)")
     new = []
     for entry, (perm, inv) in zip(spec.perms, perms):
         if entry[0] == "channel":

@@ -42,6 +42,14 @@ def haar1d(x: jax.Array, rev: bool = False, rebalance: float = 1.0):
     """1-D Haar along axis 1 of an (B, D, H, W) array. D must be even.
 
     Returns (y, logdet) where logdet has shape (B,) in float32.
+
+    Parity note (INN_utils.py:135-160): the reference hardcodes the VALUE
+    scaling to 1/sqrt(2) while computing the log-det from the
+    rebalance-dependent ``fac`` — for ``rebalance != 1`` the reported
+    log-det does not match the actual (still orthonormal) transform and
+    the fwd/rev log-dets are not negatives of each other.  Replayed here
+    bit-for-bit; dormant in practice, CWFA always builds the transform
+    with rebalance=1 (networks.py:308-311) where logdet is exactly 0.
     """
     d = x.shape[1]
     h = d // 2

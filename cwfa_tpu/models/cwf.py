@@ -64,7 +64,19 @@ class CWFStepSpec:
     use_final_perm: bool = True
     disable_low_res_input: bool = False
     # permutation specs from ReferencePermReplayer; tuples of numpy arrays.
+    # Excluded from __eq__/__hash__ directly (arrays are unhashable) but
+    # represented by the content fingerprint below, so two specs with
+    # different permutations (e.g. before/after reset_permutations) never
+    # collide as jit static args.
     perms: tuple = field(default_factory=tuple, hash=False, compare=False)
+    perms_fp: int = 0               # derived in __post_init__
+
+    def __post_init__(self):
+        fp = hash(tuple(
+            tuple(a.tobytes() if isinstance(a, np.ndarray) else a
+                  for a in entry)
+            for entry in self.perms))
+        object.__setattr__(self, "perms_fp", fp)
 
     @property
     def c_flow(self) -> int:        # differences channel count
@@ -441,7 +453,16 @@ def reset_permutations(spec: CWFStepSpec, seed: int = 1234) -> CWFStepSpec:
     seed (reference reset_perm, networks.py:153-163, applied to finetuned
     steps at CWFA.py:538). The reference draws the axis choice from the
     global RNG at reset time; here a local RandomState(seed) supplies it —
-    deterministic, documented divergence."""
+    deterministic, documented divergence.
+
+    Two reference quirks replayed deliberately: (a) reset_perm passes the
+    SAME seed (1234) to every PermuteDim, so after a reset all spatial
+    permutations are identical (only the pre-seed axis draw differs) —
+    weaker inter-block mixing, but the reference's evident intent; (b) the
+    reference's loop body only rebinds its loop VARIABLE
+    (networks.py:160-162), never storing the new module, so the reference
+    reset is actually a complete no-op — we implement the intent, not the
+    no-op."""
     import dataclasses as _dc
     from cwfa_tpu.flow.permute import make_spatial_perm
     rng = np.random.RandomState(seed)

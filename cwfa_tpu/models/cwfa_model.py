@@ -169,9 +169,12 @@ class CWFAModel:
                                           c_views, c_mean)
         zf = z.astype(jnp.float32)
         prior = 0.5 * jnp.sum(zf ** 2)
-        # reference CWFA.py:978: (0.5*||Z||^2 - logdet.mean())/numel of the
-        # upsampled (= full gt_level) volume
-        return (prior - jnp.mean(logdet)) / float(gt_level.size), (z, avg)
+        # reference CWFA.py:978: (0.5*||Z||^2 - logdet)/numel of the
+        # upsampled (= full gt_level) volume.  The reference runs batch 1;
+        # batched, the per-sample logdets (shape (B,)) must be SUMMED like
+        # the prior so the loss is the batch MEAN of the reference's
+        # per-sample NLL — a mean here underweights the jacobian term by B.
+        return (prior - jnp.sum(logdet)) / float(gt_level.size), (z, avg)
 
     # ------------------------------------------------------------- reverse
     def run_cond_net(self, params, k, cond_input, *, train=False, rng=None):
@@ -284,7 +287,11 @@ class CWFAModel:
             if n_samples > 1:
                 up_in = jnp.tile(up, (n_samples, 1, 1, 1))
                 cv = jnp.tile(c_views, (n_samples, 1, 1, 1))
-                cm = jnp.tile(c_mean, (n_samples, 1, 1, 1))
+                # mean caches may be batch-1 (make_mean_caches): broadcast
+                # to b BEFORE tiling so cm lands at b*n_samples like the
+                # other operands, not n_samples
+                cm = jnp.tile(jnp.broadcast_to(
+                    c_mean, (b,) + c_mean.shape[1:]), (n_samples, 1, 1, 1))
                 if isr is not None:
                     isr = jnp.tile(isr, (n_samples, 1, 1, 1))
                 v, _ = cwf_step_reverse(spec, params["flow"][k], z, up_in,

@@ -124,12 +124,8 @@ def lrnn(spec: LRNNSpec, params, state, x, mean_vol=None, *, train=False,
     if mean_branch is not None:
         y = y + mean_branch
     elif mean_vol is not None:
-        m = _convnext(params["cnx1"], mean_vol, spec.convnext_drop,
-                      train=train, rng=nxt())
-        m = _convnext(params["cnx2"], m, spec.convnext_drop,
-                      train=train, rng=nxt())
-        gate = 2.0 * (global_attention(params["attn"], mean_vol) - 0.5)
-        y = y + m * gate
+        y = y + lrnn_mean_branch(spec, params, mean_vol, train=train,
+                                 rng=nxt())
     return y, {"unet": unet_state}
 
 

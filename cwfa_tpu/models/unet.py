@@ -98,7 +98,9 @@ def init_unet(key, spec: UNetSpec):
         out_size = 2 ** (spec.wf + i)
         up_p = {"up": cnn.init_conv_transpose2d(next(ks), prev, out_size, 2, 2,
                                                 with_bias=spec.use_bias)}
-        cb_in = prev // 2 if spec.skip_conn else out_size
+        # the skip is ADDITIVE (unet.py:190), so the conv-block input width
+        # is out_size either way (prev//2 == out_size here)
+        cb_in = out_size
         p, s = _init_conv_block(next(ks), cb_in, out_size, spec.batch_norm,
                                 spec.use_bias, spec.activation)
         up_p["conv_block"] = p

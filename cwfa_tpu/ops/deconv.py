@@ -41,19 +41,29 @@ def _median_nonzero(x: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("n_iter", "obj_hw", "roi_depths",
-                                   "depth_chunk", "update_median_limit_multiplier"))
+                                   "depth_chunk",
+                                   "update_median_limit_multiplier",
+                                   "full_hw"))
 def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
                     obj_hw=(512, 512), roi_depths: int = 90,
                     depth_chunk: int | None = None,
-                    update_median_limit_multiplier: float = 10.0):
+                    update_median_limit_multiplier: float = 10.0,
+                    full_hw=None):
     """RL-deconvolve an XLFM camera image into a depth volume.
 
     otf: (1, D, F0, F1r) complex rFFT of the padded PSF (precompute_otf).
     img: (B, 1, I, I) raw camera image (background already removed).
+    full_hw: the padded canvas (H, W) precompute_otf transformed on.  The
+    rFFT bin count is ambiguous about width parity ((W-1)//2+1 == W'//2+1
+    for W odd = W'+1 even), so when the true width is odd the even-width
+    inference below would silently irfft onto a one-pixel-short canvas —
+    pass the (otf, psf_hw, full_hw) triple load_psf_otf returns.
     Returns (volume (B, D, obj_hw), img_est (B, 1, F0, F1)).
     """
     n_depths = otf.shape[1]
-    full_hw = (otf.shape[2], (otf.shape[3] - 1) * 2)
+    if full_hw is None:
+        full_hw = (otf.shape[2], (otf.shape[3] - 1) * 2)
+    full_hw = tuple(full_hw)
     otf_t = jnp.conj(otf)
 
     img_exp = _pad_center(img.astype(jnp.float32), full_hw)
@@ -104,7 +114,8 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
 
 def xlfm_deconvolve_sharded(mesh, otf, img, n_iter: int, obj_hw=(512, 512),
                             roi_depths: int = 90,
-                            update_median_limit_multiplier: float = 10.0):
+                            update_median_limit_multiplier: float = 10.0,
+                            full_hw=None):
     """Depth-sharded RL deconvolution over a device mesh (SURVEY.md §5.7):
     each depth's 2-D FFTs are independent and run shard-locally; the only
     cross-depth operation — the image-estimate sum — is one ``lax.psum``
@@ -118,7 +129,9 @@ def xlfm_deconvolve_sharded(mesh, otf, img, n_iter: int, obj_hw=(512, 512),
     n_depths = otf.shape[1]
     assert n_depths % n_shards == 0, (n_depths, n_shards)
     d_local = n_depths // n_shards
-    full_hw = (otf.shape[2], (otf.shape[3] - 1) * 2)
+    if full_hw is None:     # see xlfm_deconvolve: wrong for odd true width
+        full_hw = (otf.shape[2], (otf.shape[3] - 1) * 2)
+    full_hw = tuple(full_hw)
     pad_h = (full_hw[0] - obj_hw[0]) // 2
     pad_w = (full_hw[1] - obj_hw[1]) // 2
     mult = update_median_limit_multiplier

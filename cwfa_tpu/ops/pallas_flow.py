@@ -35,15 +35,13 @@ _SQRT2_INV = 1.0 / math.sqrt(2.0)
 
 
 def clamp_s(s_raw, clamp: float = 2.0, activation: str = "ATAN"):
-    """Soft clamp (reference coupling_layers.py:50-60), fp32."""
-    s = s_raw.astype(jnp.float32)
-    if activation == "ATAN":
-        return clamp * 0.636 * jnp.arctan(s)
-    if activation == "TANH":
-        return clamp * jnp.tanh(s)
-    if activation == "SIGMOID":
-        return clamp * 2.0 * (jax.nn.sigmoid(s) - 0.5)
-    raise ValueError(activation)
+    """Soft clamp (reference coupling_layers.py:50-60), fp32.
+
+    Thin fp32 wrapper over the single clamp table in flow/coupling.clamp_fn
+    — the fast (pallas) and slow (coupling) inference paths must never
+    desynchronize on this mapping."""
+    from cwfa_tpu.flow.coupling import clamp_fn
+    return clamp * clamp_fn(activation)(s_raw.astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------

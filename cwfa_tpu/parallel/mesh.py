@@ -64,19 +64,36 @@ def sharded_train_step(mesh: Mesh, train_step_fn, batch_args_ix):
     return wrapper
 
 
+_RECON_JIT_CACHE: dict = {}
+
+
 def sharded_reconstruct(mesh: Mesh, model, params, mstate, views_n,
                         mean_caches, key=None, z_temperature: float = 0.0):
-    """Reconstruction with batch sharded over 'data' and rows over 'space'."""
+    """Reconstruction with batch sharded over 'data' and rows over 'space'.
+
+    The jitted program is cached per (mesh, model, temperature, has-key):
+    defining it inside the call would re-trace on EVERY invocation — and
+    each new compile here also pays the ~25 ms remote-compile round trip
+    (CLAUDE.md), so per-frame serving callers would recompile per frame."""
     shd = batch_sharding(mesh, with_space=mesh.shape["space"] > 1)
     rep = replicate(mesh)
 
-    @partial(jax.jit, out_shardings=shd)
-    def run(params, mstate, views_n, mean_caches, key):
-        views_n = jax.lax.with_sharding_constraint(views_n, shd)
-        return model.reconstruct(params, mstate, views_n, mean_caches,
-                                 z_temperature=z_temperature, rng=key,
-                                 train=False,
-                                 lrnn_train=key is not None)
+    try:
+        hash(model)
+        model_key = model
+    except TypeError:
+        model_key = id(model)
+    cache_key = (mesh, model_key, float(z_temperature), key is not None)
+    run = _RECON_JIT_CACHE.get(cache_key)
+    if run is None:
+        @partial(jax.jit, out_shardings=shd)
+        def run(params, mstate, views_n, mean_caches, key):
+            views_n = jax.lax.with_sharding_constraint(views_n, shd)
+            return model.reconstruct(params, mstate, views_n, mean_caches,
+                                     z_temperature=z_temperature, rng=key,
+                                     train=False,
+                                     lrnn_train=key is not None)
+        _RECON_JIT_CACHE[cache_key] = run
 
     params = jax.device_put(params, rep)
     mstate = jax.device_put(mstate, rep)

@@ -200,13 +200,18 @@ int tiff_write(const char* path, const uint8_t* data, int n_pages,
   int elem = dtype == 1 ? 1 : dtype == 2 ? 2 : 4;
   uint16_t bits = (uint16_t)(8 * elem);
   uint16_t sf = dtype == 3 ? 3 : 1;
+  uint64_t page_bytes = (uint64_t)height * width * elem;
+  const uint16_t n_entries = 8;
+  uint32_t ifd_size = 2 + 12 * n_entries + 4;
+  // classic (non-Big) TIFF offsets are u32: refuse files that would wrap
+  // past 4 GB instead of silently writing corrupt IFD offsets — the
+  // Python caller falls back to another writer on a nonzero return.
+  uint64_t total = 8 + (uint64_t)n_pages * (ifd_size + page_bytes);
+  if (total > 0xFFFFFFFFull || page_bytes > 0xFFFFFFFFull) return -2;
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
   uint8_t hdr[8] = {'I', 'I', 42, 0, 8, 0, 0, 0};
   fwrite(hdr, 1, 8, f);
-  uint64_t page_bytes = (uint64_t)height * width * elem;
-  const uint16_t n_entries = 8;
-  uint32_t ifd_size = 2 + 12 * n_entries + 4;
   uint32_t off = 8;
   for (int pg = 0; pg < n_pages; pg++) {
     uint32_t data_off = off + ifd_size;
@@ -257,6 +262,21 @@ struct Prefetcher {
 
   void run() {
     for (int pg : pages) {
+      // every page must match page 0's geometry: the buffers here AND the
+      // consumer's numpy arrays are sized from page 0, and tiff_read_page
+      // writes the page's OWN height*width*elem bytes — a larger page
+      // would overflow the heap buffer.
+      bool ok_geom = pg >= 0 && pg < (int)tiff->ifds.size();
+      if (ok_geom) {
+        const Ifd& p = tiff->ifds[pg];
+        ok_geom = (uint64_t)p.height * p.width * (p.bits / 8) == page_bytes;
+      }
+      if (!ok_geom) {
+        std::unique_lock<std::mutex> lk(mu);
+        err = "page geometry mismatch";
+        cv_ready.notify_all();
+        return;
+      }
       std::vector<uint8_t> buf(page_bytes);
       int rc = tiff_read_page(tiff, pg, buf.data());
       std::unique_lock<std::mutex> lk(mu);
@@ -272,8 +292,11 @@ struct Prefetcher {
 void* prefetch_start(void* tiff_handle, const int* pages, int n_pages,
                      int depth) {
   auto* t = (TiffFile*)tiff_handle;
-  if (t->ifds.empty()) return nullptr;
-  const Ifd& p0 = t->ifds[0];
+  if (t->ifds.empty() || n_pages <= 0) return nullptr;
+  // size buffers from the FIRST SELECTED page (the Python consumer sizes
+  // its arrays from the same page via tiff_page_info)
+  if (pages[0] < 0 || pages[0] >= (int)t->ifds.size()) return nullptr;
+  const Ifd& p0 = t->ifds[pages[0]];
   auto* pf = new Prefetcher();
   pf->tiff = t;
   pf->pages.assign(pages, pages + n_pages);

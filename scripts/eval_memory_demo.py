@@ -60,7 +60,7 @@ def main():
     t0 = time.time()
     res = tr.evaluate(cat, "val", neural_coords=coords)
     wall = time.time() - t0
-    n_tiffs = len(os.listdir(os.path.join(out, "stacks", "pred")))
+    n_tiffs = len(os.listdir(os.path.join(out, "stacks", "val", "pred")))
     vol_bytes = res["volumes_pred"][0].nbytes if res["volumes_pred"] else 0
     print(f"evaluated {len(res['psnr'])} frames in {wall:.1f}s "
           f"({wall/len(res['psnr'])*1e3:.0f} ms/frame incl. TIFF dumps)",

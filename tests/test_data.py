@@ -179,3 +179,34 @@ def test_concat_dataset_reference_api(tmp_path):
     assert abs(pooled.mean()) < 1e-3
     assert abs(pooled.std(ddof=1) - 1.0) < 1e-3
     assert stats.std_vols > 0
+
+
+def test_pad_crop_reference_parity():
+    """pad_img_to_min is a CROP to the min dim (its F.pad widths are never
+    positive; odd differences floor-crop one extra pixel) and center_crop
+    must handle mixed pad/crop shapes — regressions: the old square-pad
+    was a no-op for rectangles and mixed shapes crashed."""
+    from cwfa_tpu.data.dataset import _pad_to_square_img, _center_crop_img
+    from cwfa_tpu.data.psf import _pad_to_square
+
+    for shape, want in [((5, 4), (3, 4)), ((7, 4), (3, 4)),
+                        ((4, 7), (4, 3)), ((1800, 2400), (1800, 1800)),
+                        ((10, 10), (10, 10))]:
+        x = np.arange(np.prod(shape), dtype=np.float32).reshape(shape)
+        got = _pad_to_square_img(x)
+        assert got.shape == want
+        if shape == (1800, 2400):      # centered: symmetric crop
+            np.testing.assert_array_equal(got, x[:, 300:2100])
+
+    # mixed pad/crop: one dim smaller than target, one larger (crashed)
+    y = _center_crop_img(np.ones((1800, 2400), np.float32), (2160, 2160))
+    assert y.shape == (2160, 2160)
+    assert y.sum() == 1800 * 2160      # crop to 2160 wide, pad to 2160 tall
+
+    # crop path: same offsets as the reference center_crop slicing
+    x = np.random.RandomState(0).rand(50, 61).astype(np.float32)
+    got = _center_crop_img(x, (30, 31))
+    np.testing.assert_array_equal(got, x[10:40, 15:46])
+
+    # odd-difference PSFs no longer raise (negative np.pad widths)
+    assert _pad_to_square(np.ones((3, 5, 4), np.float32)).shape == (3, 3, 4)

@@ -77,3 +77,30 @@ def test_deconv_depth_chunking_matches():
                                  roi_depths=d, depth_chunk=2)
     np.testing.assert_allclose(np.asarray(r_full), np.asarray(r_chunk),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_deconv_odd_full_width_needs_full_hw():
+    """When obj+psf gives an ODD padded width, the rFFT bin count is
+    parity-ambiguous ((W-1)//2+1 == (W-1)//2+1 for W-1 even) — the inferred
+    even canvas is one pixel short and silently shifts the recon.  Passing
+    the true full_hw from precompute_otf must keep RL recovering the blob
+    exactly (regression for the inferred-width bug)."""
+    d, s, p = 2, 17, 32                      # full = 17+32 = 49 (odd)
+    yy, xx = np.meshgrid(np.arange(p), np.arange(p), indexing="ij")
+    psf = np.zeros((1, d, p, p), np.float32)
+    for k in range(d):
+        sig = 1.5 + k
+        psf[0, k] = np.exp(-(((yy - p / 2) ** 2 + (xx - p / 2) ** 2)
+                             / (2 * sig ** 2)))
+        psf[0, k] /= psf[0, k].sum()
+    otf, full_hw = precompute_otf(jnp.asarray(psf), (s, s))
+    assert full_hw[1] % 2 == 1               # the ambiguous case
+
+    vol = np.zeros((1, d, s, s), np.float32)
+    vol[0, 0, 5, 11] = 100.0
+    img = xlfm_forward_project(jnp.asarray(vol), otf, full_hw, psf_hw=(p, p))
+    recon, _ = xlfm_deconvolve(otf, img, n_iter=40, obj_hw=(s, s),
+                               roi_depths=d, full_hw=full_hw)
+    recon = np.asarray(recon)[0]
+    assert np.isfinite(recon).all()
+    assert recon[0].argmax() == 5 * s + 11

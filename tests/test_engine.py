@@ -103,3 +103,73 @@ def test_lrnn_loss_decreases(rig):
     cat = rig["cat"]
     losses = [trainer.train_epoch(cat, 0) for _ in range(4)]
     assert losses[-1] < losses[0]
+
+
+def test_step_nll_batched_is_mean_of_per_sample(rig):
+    """The training NLL (CWFA.py:966-978) must be the batch MEAN of the
+    reference's per-sample objective: (0.5||z_b||^2 - logdet_b)/numel —
+    regression for the batch-summed prior vs batch-averaged logdet bug
+    (logdet was underweighted by B at batch_size>1)."""
+    model = rig["model"]
+    params, _ = model.init(jax.random.PRNGKey(0))
+    k = 0
+    spec = model.step_specs[k]
+    rng = np.random.RandomState(0)
+    B = 3
+    gt = jnp.asarray(rng.randn(B, spec.d_in, spec.spatial, spec.spatial)
+                     .astype(np.float32))
+    cv = jnp.asarray(rng.randn(B, spec.c_flow, spec.spatial, spec.spatial)
+                     .astype(np.float32))
+    cm = jnp.asarray(rng.randn(B, spec.c_flow, spec.spatial, spec.spatial)
+                     .astype(np.float32))
+    nll_b, _ = model.step_nll(params, k, gt, cv, cm)
+    per = [model.step_nll(params, k, gt[i:i + 1], cv[i:i + 1],
+                          cm[i:i + 1])[0] for i in range(B)]
+    np.testing.assert_allclose(float(nll_b),
+                               float(np.mean([float(p) for p in per])),
+                               rtol=1e-5)
+
+
+def test_checkpoint_roundtrip_mstate_and_optimizer(rig, tmp_path):
+    """Checkpoints must carry the LRNN UNet BatchNorm running statistics
+    (mstate) and the per-step optimizer momenta; a restored trainer's
+    eval-mode BatchNorm must use the TRAINED stats, and a resume keeps the
+    Lion momenta instead of restarting them from zero."""
+    out = str(tmp_path / "ck")
+    tr = CWFATrainer(rig["model"], rig["stats"], rig["vidx"],
+                     output_path=out, seed=11)
+    # run every stage at least once so BN stats and all momenta move
+    for epoch in range(rig["cfg"].epochs):
+        tr.train_epoch(rig["cat"], epoch)
+    tr.save_checkpoints(epoch=rig["cfg"].epochs - 1)
+
+    tr2 = CWFATrainer(CWFAModel.build(rig["cfg"]), rig["stats"],
+                      rig["vidx"], seed=99)
+    tr2.load_checkpoints(out)
+
+    for a, b in zip(jax.tree_util.tree_leaves(tr.mstate),
+                    jax.tree_util.tree_leaves(tr2.mstate)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6)
+    # the stats actually moved during training (the restore is load-bearing)
+    assert not np.allclose(
+        np.concatenate([np.asarray(x).ravel() for x in
+                        jax.tree_util.tree_leaves(tr.mstate)]),
+        np.concatenate([np.asarray(x).ravel() for x in
+                        jax.tree_util.tree_leaves(
+                            CWFATrainer(CWFAModel.build(rig["cfg"]),
+                                        rig["stats"], rig["vidx"],
+                                        seed=11).mstate)]))
+    # optimizer momenta restored (non-zero after training)
+    for a, b in zip(jax.tree_util.tree_leaves(tr.opt_lrnn),
+                    jax.tree_util.tree_leaves(tr2.opt_lrnn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    for k in range(tr.model.n_flow_steps):
+        for a, b in zip(jax.tree_util.tree_leaves(tr.opt_flow[k]),
+                        jax.tree_util.tree_leaves(tr2.opt_flow[k])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+    flat = np.concatenate([np.asarray(x).ravel()
+                           for x in jax.tree_util.tree_leaves(tr2.opt_lrnn)
+                           if np.asarray(x).size])
+    assert np.abs(flat).max() > 0

@@ -264,3 +264,46 @@ def test_roi_reservoir_uniform_after_overflow():
     true_median = np.median(np.concatenate(
         [np.random.RandomState(f).rand(n_per) + (f + 1) for f in range(10)]))
     assert abs(float(np.median(acc._res)) - true_median) < 0.25
+
+
+def test_finalize_results_artifacts(tmp_path_factory, tmp_path):
+    """The final results block (CWFA.py:1182-1288): per-layer summary
+    scalars, corr/time scalars, the save_images 'Output' composites + PNGs,
+    and the all-frame stack_MIP TIFFs."""
+    from cwfa_tpu.engine.trainer import CWFATrainer
+    from cwfa_tpu.models.cwfa_model import CWFAModel
+    from cwfa_tpu.utils.tb_writer import read_event_file
+    from cwfa_tpu.data.tiff import read_tiff_stack
+
+    cat, cfg, vidx = _tiny_rig(tmp_path_factory)
+    # fine_tune=0: the reference writes the stack MIPs only on non-finetune
+    # runs (finetune runs re-serialize checkpoints instead, CWFA.py:1280-1286)
+    cfg = dataclasses.replace(cfg, save_images=1, save_tiff_volumes=1,
+                              fine_tune=0)
+    out = str(tmp_path / "run")
+    tr = CWFATrainer(CWFAModel.build(cfg), cat.get_statistics(), vidx,
+                     output_path=out)
+    results = {"train": tr.evaluate(cat, "train", epoch=0)}
+    assert len(results["train"]["projections_pred_steps"]) == 2
+    assert len(results["train"]["projections_pred_steps"][0]) == \
+        tr.model.n_flow_steps + 1
+    tr.finalize_results(results, output_posfix="t")
+    tr.log.tb_writer.flush()
+
+    ev_files = [f for f in os.listdir(out) if f.startswith("events.out")]
+    events = read_event_file(os.path.join(out, ev_files[0]))
+    stags = {e["tag"] for e in events if e["kind"] == "scalar"}
+    assert {"psnr/step_0", "MAPE/step_0", "corr_coeff_mean/train",
+            "time/mean", "time/min"} <= stags
+    itags = [e for e in events if e["kind"] == "image"
+             and e["tag"] == "Output"]
+    assert len(itags) == 2          # one composite per frame
+    for i in range(2):
+        for f in (f"_output_image_pred{i}.png", f"_output_image_gt{i}.png",
+                  f"_output_t_image_{i}.png"):
+            assert os.path.exists(os.path.join(out, f)), f
+    # all-frame MIP stacks
+    gt_mips = read_tiff_stack(os.path.join(out, "stack_MIP_gt.tif"))
+    pr_mips = read_tiff_stack(os.path.join(out, "stack_MIP_prediction.tif"))
+    assert gt_mips.shape[0] == 2 and pr_mips.shape == gt_mips.shape
+    assert np.isfinite(pr_mips).all()

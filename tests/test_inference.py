@@ -138,6 +138,14 @@ def test_multi_sample_averaging():
                            rng=jax.random.PRNGKey(3), train=False,
                            lrnn_train=False, n_samples=2)
     assert np.isfinite(np.asarray(vt)).all()
+    # regression: batch-1 mean caches (make_mean_caches form) with b>1 AND
+    # n_samples>1 — c_mean must broadcast to b BEFORE the n_samples tile
+    assert frames.shape[0] > 1
+    v2c = model.reconstruct(params, mstate, views_n, caches,
+                            z_temperature=0.0, rng=None, train=False,
+                            lrnn_train=False, n_samples=2)
+    np.testing.assert_allclose(np.asarray(v2c), np.asarray(v1),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_mean_branch_is_frame_independent():
