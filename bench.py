@@ -21,8 +21,39 @@ import time
 import numpy as np
 
 
+def _backend_watchdog(timeout_s: float):
+    """Fail fast when the axon TPU tunnel is unreachable.
+
+    First backend init goes through a remote tunnel; when that tunnel is
+    down, ``jax.devices()`` blocks forever inside a C call no signal
+    handler can interrupt — a daemon timer + ``os._exit`` is the only
+    reliable bound.  Returns a cancel() callable to invoke once the
+    backend is live."""
+    import os
+    import threading
+
+    def _die():
+        print(f"# backend init exceeded {timeout_s:.0f}s — TPU tunnel "
+              "unreachable; aborting bench", file=sys.stderr, flush=True)
+        os._exit(3)
+
+    t = threading.Timer(timeout_s, _die)
+    t.daemon = True
+    t.start()
+    return t.cancel
+
+
 def main():
+    import os
+
+    cancel = _backend_watchdog(
+        float(os.environ.get("BENCH_INIT_TIMEOUT", "300")))
     import jax
+
+    n_dev = len(jax.devices())      # forces backend init under the watchdog
+    cancel()
+    print(f"# backend up: {n_dev} device(s), platform "
+          f"{jax.devices()[0].platform}", file=sys.stderr)
     import jax.numpy as jnp
 
     from cwfa_tpu.config import CWFAConfig
@@ -53,7 +84,6 @@ def main():
     compute_dtype = jnp.bfloat16 if cfg.use_half_precision else jnp.float32
 
     import gc
-    import os
     best_fps = 0.0
     # batch sweep; BENCH_BATCHES env (comma-separated) bounds it for
     # time-budgeted runs (e.g. BENCH_BATCHES=16 python bench.py)
