@@ -93,9 +93,19 @@ def main(argv=None):
                   "serving with the (slower) f32 UNet path. Pre-place a "
                   "couple of frames or pass --no_int8 to silence this.",
                   flush=True)
+    # --mesh_data_axis/--mesh_space_axis: multi-chip serving (batch over
+    # 'data', image rows over 'space'); 1x1 (default) stays single-device
+    mesh = None
+    if int(cfg.mesh_data_axis) * int(cfg.mesh_space_axis) > 1:
+        from cwfa_tpu.parallel import make_mesh
+        mesh = make_mesh(n_data=int(cfg.mesh_data_axis),
+                         n_space=int(cfg.mesh_space_axis))
+        print(f"serving on a {cfg.mesh_data_axis}x{cfg.mesh_space_axis} "
+              "(data,space) device mesh", flush=True)
     recon = XLFMReconstructor(
         model, trainer.params, trainer.mstate, trainer.stats, vidx,
-        mean_caches, deterministic=True, compute_dtype=compute_dtype,
+        mean_caches, mesh=mesh, deterministic=True,
+        compute_dtype=compute_dtype,
         use_int8=calib is not None, calib_frames=calib)
     recon.warmup(args.batch, img_shape)
 

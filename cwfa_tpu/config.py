@@ -24,6 +24,10 @@ def _decode_lr(v: float) -> float:
 class CWFAConfig:
     # --- data (main.py:24-34) ---
     main_data_path: str = "XLFM_data/Datasets/"
+    # data_folder*/dataset_ids*: dead as USER flags in the reference too —
+    # main.py:162-163,171-172 unconditionally clobbers all four from the CV
+    # group before any read, so only cross_validation_nFold selects data.
+    # Accepted for config/checkpoint parity (they ride in saved configs).
     data_folder: list = field(default_factory=list)
     data_folder_test: list = field(default_factory=list)
     dataset_ids: list = field(default_factory=list)
@@ -51,7 +55,9 @@ class CWFAConfig:
     # --- logging (main.py:48-57) ---
     eval_every: int = 25
     save_every: int = 25
-    save_model: int = 1
+    save_model: int = 1                # 0 = no checkpoint writes (declared
+                                       # but never read by the reference;
+                                       # honored as evident intent)
     save_tiff_volumes: int = 1
     save_images: int = 0
     files_to_store: str = "*.py"
@@ -74,7 +80,10 @@ class CWFAConfig:
     neural_activation_filter_width: float = 10
     evaluation_prefix: str = ""
     main_gpu: int = -2                 # kept for config parity; unused on TPU
-    n_threads: int = 8
+    n_threads: int = 8                 # reference: torch.set_num_threads
+                                       # (main.py:260); N/A here — host math
+                                       # threads are XLA-managed, native IO
+                                       # threads are per-stream
 
     # --- OOD (main.py:78-83) ---
     step_LL_to_use: int = 0
@@ -94,7 +103,11 @@ class CWFAConfig:
 
     # --- INN architecture (main.py:98-110) ---
     INN_net_type: int = 1              # 0 plain INN / 1 CWF / 2 XLFMNet
-    INN_down_steps: int = 5
+    INN_down_steps: int = 5            # internal per-step bookkeeping: the
+                                       # reference overwrites it per built
+                                       # step (CWFA.py:486) before any read,
+                                       # so the user value is dead there too;
+                                       # INN_max_down_steps is the live knob
     INN_max_down_steps: int = 5
     INN_use_perm: int = 1
     INN_use_bias: int = 1
@@ -108,8 +121,8 @@ class CWFAConfig:
 
     # --- runtime extras (no reference counterpart; TPU-specific) ---
     fine_tune: int = 1                 # derived: len(fine_tune_optimize_steps)>0
-    mesh_data_axis: int = 1            # data-parallel chips
-    mesh_space_axis: int = 1           # spatial (H) sharding chips
+    mesh_data_axis: int = 1            # data-parallel chips (serve CLI mesh)
+    mesh_space_axis: int = 1           # spatial (H) sharding chips (ditto)
 
     def decode_lrs(self) -> "CWFAConfig":
         """Integer-flag learning-rate decoding (main.py:238-243)."""

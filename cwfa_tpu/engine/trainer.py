@@ -889,9 +889,12 @@ class CWFATrainer:
                     results["test"] = self.evaluate(
                         test_ds, "test", neural_coords=nc.get("test"),
                         epoch=epoch)
-                if self.output_path:
+                if self.output_path and cfg.save_model:
+                    # --save_model: declared by the reference (main.py:51)
+                    # but never consumed there; honored as evident intent
+                    # (0 = metrics-only run, no checkpoint writes)
                     self.save_checkpoints(epoch)
-            elif (self.output_path and cfg.save_every
+            elif (self.output_path and cfg.save_model and cfg.save_every
                     and (epoch + 1) % int(cfg.save_every) == 0):
                 # --save_every: periodic checkpoints between eval points.
                 # The reference ACCEPTS the flag but never consumes it

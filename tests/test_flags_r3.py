@@ -307,3 +307,22 @@ def test_finalize_results_artifacts(tmp_path_factory, tmp_path):
     pr_mips = read_tiff_stack(os.path.join(out, "stack_MIP_prediction.tif"))
     assert gt_mips.shape[0] == 2 and pr_mips.shape == gt_mips.shape
     assert np.isfinite(pr_mips).all()
+
+
+def test_save_model_zero_skips_checkpoints(tmp_path_factory, tmp_path):
+    """--save_model 0: metrics-only run, no checkpoint files.  The
+    reference declares the flag (main.py:51) but never reads it; honored
+    as evident intent in CWFATrainer.fit."""
+    from cwfa_tpu.engine.trainer import CWFATrainer
+    from cwfa_tpu.models.cwfa_model import CWFAModel
+
+    cat, cfg, vidx = _tiny_rig(tmp_path_factory)
+    for save_model, expect in ((0, 0), (1, 1)):
+        cfg_i = dataclasses.replace(cfg, save_model=save_model, epochs=2,
+                                    eval_every=2)
+        out = str(tmp_path / f"run{save_model}")
+        tr = CWFATrainer(CWFAModel.build(cfg_i), cat.get_statistics(),
+                         vidx, output_path=out)
+        tr.fit(cat, None, None)
+        ckpts = [f for f in os.listdir(out) if f.startswith("model_step_")]
+        assert bool(ckpts) == bool(expect), (save_model, ckpts)
