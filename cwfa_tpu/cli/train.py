@@ -171,7 +171,6 @@ def main(argv=None):
                              (cfg.volume_side_size, cfg.volume_side_size))
     cfg = dataclasses.replace(cfg, n_lenslets=len(coords))
 
-    model = CWFAModel.build(cfg)
     # run-dir naming with the evaluation prefix (reference main.py:165-168,
     # 356: default prefix CV{fold}_{temperature}T, 'test_set__' marker when
     # evaluating on the test folders)
@@ -182,6 +181,21 @@ def main(argv=None):
         cfg.output_testing_path,
         f"{datetime.now().strftime('%Y_%m_%d__%H_%M_%S')}_{marker}"
         f"{cfg.epochs}E_{prefix}_")
+
+    if cfg.INN_net_type == 2:
+        # XLFMNet baseline (main.py:99: "2: XLFMNet"; the reference's
+        # switch never constructs it — here it trains for real)
+        from cwfa_tpu.engine.xlfmnet_train import run_xlfmnet
+        results = run_xlfmnet(cfg, train_ds, test_ds, stats, vidx,
+                              output_path=out)
+        for tag, res in results.items():
+            if res["psnr"]:
+                print(f"[{tag}] XLFMNet level-0 PSNR "
+                      f"{np.mean([r[0] for r in res['psnr']]):.3f}")
+        print(f"Saving directory: {out}")
+        return results
+
+    model = CWFAModel.build(cfg)
     trainer = CWFATrainer(model, stats, vidx, output_path=out)
     counts = model.param_counts(trainer.params)
     print(f"nParameters: WF: {counts['WF']}\tOmega: {counts['Omega']}\t"

@@ -51,3 +51,93 @@ def train_xlfmnet(spec: XLFMNetSpec, views, gt_volumes, n_steps: int = 100,
             gt_volumes[ix:ix + 1], k)
         losses.append(float(loss))
     return params, state, losses
+
+
+def run_xlfmnet(cfg, train_ds, test_ds, stats, view_indices,
+                output_path: str | None = None, verbose: bool = True):
+    """CLI-shaped XLFMNet baseline run for ``--INN_net_type 2``.
+
+    The reference's net_type switch (main.py:99,116) only ever picks a
+    pretrained-checkpoint path for type 1 — run_CWFA never constructs the
+    XLFMNet it names.  Here type 2 is a working baseline: supervised
+    views -> volume regression with the first-step loss menu, evaluated
+    with the CWFA eval's exact un-normalization, checkpointed in the
+    trainer's msgpack format (posfix ``_xlfmnet``).
+
+    Returns the same ``{tag: results}`` dict shape as ``CWFATrainer.fit``
+    (psnr/MAPE/times/nll keys; nll empty — no likelihood model).
+    """
+    import time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from cwfa_tpu.data.views import extract_views
+    from cwfa_tpu.engine.checkpoints import save_step_checkpoint
+    from cwfa_tpu.engine.metrics import compute_step_performance
+
+    # UNet depth capped so tiny volumes keep >= 2px at the bottleneck
+    # (the flagship 512-side keeps the reference depth of 5)
+    depth = max(1, min(5, int(np.log2(max(cfg.volume_side_size, 4))) - 2))
+    from cwfa_tpu.models.unet import UNetSpec
+    # drop_out=0 (NOT the reference's 1.0): XLFMNet passes drop_out=1.0
+    # into F.dropout2d whose torch default is training=True
+    # (networks.py:762, unet.py:80) — every channel dropped, always; the
+    # model is broken-by-construction there, which fits run_CWFA never
+    # building it.  A trainable baseline needs the dropout off.
+    spec = XLFMNetSpec(
+        in_views=cfg.n_lenslets, out_depths=cfg.n_depths,
+        unet=UNetSpec(in_channels=cfg.n_depths, n_classes=cfg.n_depths,
+                      depth=depth, wf=6, batch_norm=True,
+                      skip_conn=False, drop_out=0.0, activation="elu"))
+
+    def stack_norm(ds):
+        views, vols = [], []
+        for ix in range(len(ds)):
+            di, li = ds.locate(ix)
+            d = ds.datasets[di]
+            views.append(np.asarray(d.stacked_views[li]))
+            vols.append(np.asarray(d.vols[li], np.float32))
+        raw = jnp.asarray(np.stack(views))
+        v = extract_views(raw, view_indices)
+        views_n = (v - stats.mean_imgs) / stats.std_imgs
+        vols_n = (jnp.asarray(np.stack(vols)) - stats.mean_vols) \
+            / stats.std_vols
+        return np.asarray(views_n), np.asarray(vols_n)
+
+    views_n, vols_n = stack_norm(train_ds)
+    n_steps = max(int(cfg.epochs), 1) * len(train_ds)
+    params, state, losses = train_xlfmnet(
+        spec, jnp.asarray(views_n), jnp.asarray(vols_n),
+        n_steps=n_steps, learning_rate=cfg.learning_rate_first_step,
+        loss_kind=cfg.loss_func_first_step, seed=cfg.seed)
+    if verbose:
+        print(f"XLFMNet: {n_steps} steps, loss {losses[0]:.5f} -> "
+              f"{losses[-1]:.5f}")
+
+    fwd = jax.jit(lambda p, s, v: xlfmnet(spec, p, s, v, train=False)[0])
+    results = {}
+    for tag, ds in (("train", train_ds), ("test", test_ds)):
+        res = {"psnr": [], "MAPE": [], "times": [], "nll": [],
+               "volumes_pred": [], "volumes_gt": [], "CC": None,
+               "projections_gt": [], "projections_predicted": []}
+        if ds is not None and len(ds):
+            tv, tg = stack_norm(ds)
+            t0 = time.perf_counter()
+            pred = np.asarray(fwd(params, state, jnp.asarray(tv)))
+            dt = (time.perf_counter() - t0) / len(ds)
+            for j in range(len(ds)):
+                p, m, _, _ = compute_step_performance(
+                    tg[j:j + 1], pred[j:j + 1], 0,
+                    stats.mean_vols, stats.std_vols)
+                res["psnr"].append([p])
+                res["MAPE"].append([m])
+                res["times"].append(dt)
+        results[tag] = res
+    if output_path:
+        save_step_checkpoint(output_path, step=0,
+                             epoch=max(int(cfg.epochs), 1) - 1, cfg=cfg,
+                             cond_params=params, model_state=state,
+                             posfix="_xlfmnet")
+    return results

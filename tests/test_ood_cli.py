@@ -119,3 +119,31 @@ def test_ood_detect_batched_matches_batch1(rig):
     rN = detect_ood(trN, rig["cat"])
     assert rN.nll_per_frame.shape == r1.nll_per_frame.shape == (4, 1)
     np.testing.assert_allclose(rN.scores, r1.scores, rtol=5e-3, atol=5e-3)
+
+
+def test_train_cli_xlfmnet_baseline(rig, tmp_path):
+    """--INN_net_type 2 dispatches to the XLFMNet baseline trainer
+    (reference main.py:99 names it; its switch never constructs it) and
+    writes a *_xlfmnet checkpoint."""
+    import glob as _glob
+    import os
+
+    from cwfa_tpu.cli.train import main as train_main
+    info = rig["info"]
+    out_root = str(tmp_path / "out")
+    results = train_main([
+        "--main_data_path", info["root"],
+        "--lenslet_file", info["lenslet_file"],
+        "--cross_validation_nFold", "0",
+        "--INN_net_type", "2",
+        "--n_depths", str(N_DEPTHS),
+        "--volume_side_size", str(VIEW),
+        "--img_size", str(IMG),
+        "--epochs", "2",
+        "--max_samples", "2",
+        "--output_testing_path", out_root,
+    ])
+    assert results["train"]["psnr"] and results["test"]["psnr"]
+    assert np.isfinite(results["train"]["psnr"][0][0])
+    cks = _glob.glob(os.path.join(out_root, "*", "*_xlfmnet*"))
+    assert cks, "no XLFMNet checkpoint written"
