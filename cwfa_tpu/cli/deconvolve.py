@@ -46,6 +46,11 @@ def build_parser():
                    help="accepted for reference CLI compatibility; device "
                         "selection is N/A on TPU (jax.devices() is used)")
     p.add_argument("--img_size", type=int, default=2160)
+    p.add_argument("--mesh_depth_axis", type=int, default=1,
+                   help="shard the RL depth loop over N chips (each "
+                        "depth's FFTs are independent; the image-estimate "
+                        "sum is one psum over ICI) — requires n_depths %% N "
+                        "== 0; 1 = single-device")
     return p
 
 
@@ -109,14 +114,32 @@ def main(argv=None):
         for pos, img_ix in enumerate(args.images_to_use[: len(ds)]):
             yield img_ix, ds.stacked_views[pos]
 
+    mesh = None
+    if int(args.mesh_depth_axis) > 1:
+        from cwfa_tpu.parallel import make_mesh
+        if args.n_depths % int(args.mesh_depth_axis):
+            raise SystemExit(
+                f"--mesh_depth_axis {args.mesh_depth_axis} must divide "
+                f"--n_depths {args.n_depths}")
+        mesh = make_mesh(n_data=1, n_space=int(args.mesh_depth_axis))
+        print(f"deconvolving depth-sharded over {args.mesh_depth_axis} "
+              "chips", flush=True)
+
     last_vol = None
     for img_ix, frame in frames():
         views = frame[None, None] - background
-        vol, _ = xlfm_deconvolve(
-            otf, jnp.asarray(views), n_iter=args.n_it,
-            obj_hw=(args.vol_xy_size, args.vol_xy_size),
-            roi_depths=min(90, args.n_depths), depth_chunk=depth_chunk,
-            full_hw=full_hw)
+        if mesh is not None:
+            from cwfa_tpu.ops.deconv import xlfm_deconvolve_sharded
+            vol, _ = xlfm_deconvolve_sharded(
+                mesh, otf, jnp.asarray(views), n_iter=args.n_it,
+                obj_hw=(args.vol_xy_size, args.vol_xy_size),
+                roi_depths=min(90, args.n_depths), full_hw=full_hw)
+        else:
+            vol, _ = xlfm_deconvolve(
+                otf, jnp.asarray(views), n_iter=args.n_it,
+                obj_hw=(args.vol_xy_size, args.vol_xy_size),
+                roi_depths=min(90, args.n_depths), depth_chunk=depth_chunk,
+                full_hw=full_hw)
         last_vol = np.asarray(vol)[0]
         write_tiff_stack(
             os.path.join(stack_path, f"XLFM_stack_{img_ix:03d}.tif"), last_vol)

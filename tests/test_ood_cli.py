@@ -147,3 +147,34 @@ def test_train_cli_xlfmnet_baseline(rig, tmp_path):
     assert np.isfinite(results["train"]["psnr"][0][0])
     cks = _glob.glob(os.path.join(out_root, "*", "*_xlfmnet*"))
     assert cks, "no XLFMNet checkpoint written"
+
+
+def test_deconvolve_cli_depth_sharded_matches(rig, tmp_path):
+    """--mesh_depth_axis N: the depth-sharded RL path (one psum over the
+    mesh axis per iteration) must reproduce the single-device volumes."""
+    import glob as _glob
+    import os
+
+    from cwfa_tpu.cli.deconvolve import main as deconv_main
+    from cwfa_tpu.data.tiff import read_tiff_stack
+
+    info = rig["info"]
+    fish = info["fish_dirs"][0] + "/SLNet_preprocessed"
+    base = [
+        "--data_folder", fish,
+        "--psf_file", info["psf_file"],
+        "--lenslet_file", info["lenslet_file"],
+        "--images_to_use", "0",
+        "--n_it", "3",
+        "--n_depths", str(N_DEPTHS),
+        "--vol_xy_size", str(VOL_SIDE),
+        "--img_size", str(IMG),
+    ]
+    out1 = deconv_main(base + ["--posfix", "_single"])
+    out2 = deconv_main(base + ["--posfix", "_sharded",
+                               "--mesh_depth_axis", "4"])
+    v1 = read_tiff_stack(_glob.glob(os.path.join(out1,
+                                                 "XLFM_stack_0*.tif"))[0])
+    v2 = read_tiff_stack(_glob.glob(os.path.join(out2,
+                                                 "XLFM_stack_0*.tif"))[0])
+    np.testing.assert_allclose(v1, v2, rtol=1e-4, atol=1e-5)
