@@ -92,24 +92,31 @@ def run_xlfmnet(cfg, train_ds, test_ds, stats, view_indices,
                       depth=depth, wf=6, batch_norm=True,
                       skip_conn=False, drop_out=0.0, activation="elu"))
 
-    def stack_norm(ds):
+    view_norm = jax.jit(lambda raw: (extract_views(raw, view_indices)
+                                     - stats.mean_imgs) / stats.std_imgs)
+
+    def stack_norm(ds, chunk: int = 8):
+        """Host-resident normalized (views, vols); raw camera frames round
+        through the device in small chunks — the whole stack at once is
+        ~100 MB/frame of device residency (25+ GB at the reference's
+        250-frame split)."""
         views, vols = [], []
         for ix in range(len(ds)):
             di, li = ds.locate(ix)
             d = ds.datasets[di]
             views.append(np.asarray(d.stacked_views[li]))
-            vols.append(np.asarray(d.vols[li], np.float32))
-        raw = jnp.asarray(np.stack(views))
-        v = extract_views(raw, view_indices)
-        views_n = (v - stats.mean_imgs) / stats.std_imgs
-        vols_n = (jnp.asarray(np.stack(vols)) - stats.mean_vols) \
-            / stats.std_vols
-        return np.asarray(views_n), np.asarray(vols_n)
+            vols.append((np.asarray(d.vols[li], np.float32)
+                         - stats.mean_vols) / stats.std_vols)
+        out = [np.asarray(view_norm(jnp.asarray(np.stack(
+            views[i:i + chunk])))) for i in range(0, len(views), chunk)]
+        return np.concatenate(out), np.stack(vols)
 
     views_n, vols_n = stack_norm(train_ds)
     n_steps = max(int(cfg.epochs), 1) * len(train_ds)
+    # numpy (host) arrays on purpose: train_xlfmnet slices per step, so
+    # only the active batch rides device memory
     params, state, losses = train_xlfmnet(
-        spec, jnp.asarray(views_n), jnp.asarray(vols_n),
+        spec, views_n, vols_n,
         n_steps=n_steps, learning_rate=cfg.learning_rate_first_step,
         loss_kind=cfg.loss_func_first_step, seed=cfg.seed)
     if verbose:
@@ -124,8 +131,11 @@ def run_xlfmnet(cfg, train_ds, test_ds, stats, view_indices,
                "projections_gt": [], "projections_predicted": []}
         if ds is not None and len(ds):
             tv, tg = stack_norm(ds)
+            bs = max(int(cfg.batch_size), 1)
             t0 = time.perf_counter()
-            pred = np.asarray(fwd(params, state, jnp.asarray(tv)))
+            pred = np.concatenate(
+                [np.asarray(fwd(params, state, jnp.asarray(tv[i:i + bs])))
+                 for i in range(0, len(tv), bs)])
             dt = (time.perf_counter() - t0) / len(ds)
             for j in range(len(ds)):
                 p, m, _, _ = compute_step_performance(
