@@ -64,6 +64,8 @@ def _load_library():
                                        ctypes.POINTER(ctypes.c_int),
                                        ctypes.c_int, ctypes.c_int]
         lib.prefetch_next.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.prefetch_error.restype = ctypes.c_char_p
+        lib.prefetch_error.argtypes = [ctypes.c_void_p]
         lib.prefetch_stop.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return _LIB
@@ -150,6 +152,11 @@ class PrefetchingTiffReader:
         self._dtype = _DTYPES[dt.value]
         arr = (ctypes.c_int * len(self._pages))(*self._pages)
         self._pf = lib.prefetch_start(self._h, arr, len(self._pages), depth)
+        if not self._pf:
+            lib.tiff_close(self._h)
+            self._h = None
+            raise IOError(f"prefetch start failed for {path!r} "
+                          f"(invalid first page {self._pages[0]})")
 
     def __enter__(self):
         return self
@@ -160,6 +167,13 @@ class PrefetchingTiffReader:
             ix = self._lib.prefetch_next(
                 self._pf, buf.ctypes.data_as(ctypes.c_char_p))
             if ix < 0:
+                # a mid-stream decode failure must not read as a SHORTER
+                # dataset — the deconvolve CLI would silently produce
+                # fewer volumes on a corrupt stack
+                err = self._lib.prefetch_error(self._pf)
+                if err:
+                    raise IOError(f"native tiff prefetch failed: "
+                                  f"{err.decode()}")
                 break
             yield ix, buf
 

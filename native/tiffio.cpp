@@ -258,6 +258,7 @@ struct Prefetcher {
   std::condition_variable cv_ready, cv_free;
   std::queue<std::pair<int, std::vector<uint8_t>>> ready;
   bool stop = false;
+  bool done = false;     // worker exhausted its page list normally
   std::string err;
 
   void run() {
@@ -286,6 +287,9 @@ struct Prefetcher {
       ready.emplace(pg, std::move(buf));
       cv_ready.notify_one();
     }
+    std::lock_guard<std::mutex> lk(mu);
+    done = true;
+    cv_ready.notify_all();
   }
 };
 
@@ -307,19 +311,32 @@ void* prefetch_start(void* tiff_handle, const int* pages, int n_pages,
 }
 
 // blocks until the next page is decoded; returns page index or -1 when done
+// or on error (already-decoded pages are drained BEFORE the error shows —
+// check prefetch_error after a -1 to distinguish the two)
 int prefetch_next(void* h, uint8_t* out) {
   auto* pf = (Prefetcher*)h;
+  if (!pf) return -1;
   std::unique_lock<std::mutex> lk(pf->mu);
   pf->cv_ready.wait(lk, [&] {
-    return !pf->ready.empty() || !pf->err.empty() || pf->stop;
+    return !pf->ready.empty() || !pf->err.empty() || pf->stop || pf->done;
   });
-  if (!pf->err.empty() || pf->ready.empty()) return -1;
+  if (pf->ready.empty()) return -1;   // done, stopped, or errored dry
   auto item = std::move(pf->ready.front());
   pf->ready.pop();
   pf->cv_free.notify_one();
   lk.unlock();
   memcpy(out, item.second.data(), item.second.size());
   return item.first;
+}
+
+// non-empty error string after a -1 means the decode FAILED mid-stream
+// (geometry mismatch / read error) rather than completing; the pointer
+// stays valid until prefetch_stop
+const char* prefetch_error(void* h) {
+  auto* pf = (Prefetcher*)h;
+  if (!pf) return "prefetch start failed";
+  std::lock_guard<std::mutex> lk(pf->mu);
+  return pf->err.empty() ? "" : pf->err.c_str();
 }
 
 void prefetch_stop(void* h) {

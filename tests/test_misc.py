@@ -134,3 +134,38 @@ def test_native_tiff_roundtrip_and_prefetch(tmp_path):
     assert sorted(got) == [0, 2, 3]
     for ix in got:
         np.testing.assert_allclose(got[ix], arr[ix].sum(), rtol=1e-5)
+
+
+def test_native_prefetch_rejects_geometry_mismatch(tmp_path):
+    """A multipage TIFF whose pages differ in size must fail LOUDLY from
+    the native prefetcher (a larger later page would otherwise overflow
+    the page-0-sized buffer; a silent stop would read as a shorter
+    dataset), and sizing must follow the FIRST SELECTED page."""
+    from PIL import Image
+
+    from cwfa_tpu.data.native_tiff import (native_available,
+                                           PrefetchingTiffReader)
+    if not native_available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    small = Image.fromarray(np.arange(64, dtype=np.uint16).reshape(8, 8))
+    big = Image.fromarray(np.arange(256, dtype=np.uint16).reshape(16, 16))
+    p = str(tmp_path / "mixed.tif")
+    small.save(p, format="TIFF", save_all=True, append_images=[big])
+
+    import pytest
+    with PrefetchingTiffReader(p, pages=[0, 1]) as it:
+        frames = []
+        with pytest.raises(IOError, match="geometry"):
+            for ix, f in it:
+                frames.append((ix, f.copy()))
+    # page 0 itself decodes fine before the mismatch surfaces
+    assert [ix for ix, _ in frames] == [0]
+    np.testing.assert_array_equal(
+        frames[0][1], np.arange(64, dtype=np.uint16).reshape(8, 8))
+
+    # selecting ONLY the larger page sizes buffers from it (not page 0)
+    with PrefetchingTiffReader(p, pages=[1]) as it:
+        got = dict((ix, f.copy()) for ix, f in it)
+    np.testing.assert_array_equal(
+        got[1], np.arange(256, dtype=np.uint16).reshape(16, 16))
