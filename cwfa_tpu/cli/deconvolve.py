@@ -87,13 +87,22 @@ def main(argv=None):
         """Stream frames; the native prefetcher decodes frame n+1 on a
         background thread while the TPU deconvolves frame n.  The dataset
         fallback is constructed LAZILY — eagerly decoding the whole stack
-        up front would double the host-I/O the prefetcher exists to hide."""
+        up front would double the host-I/O the prefetcher exists to hide.
+
+        Fallback fires only when the native STREAM CANNOT START (runtime
+        unavailable, unreadable file); a mid-stream decode failure
+        propagates — swallowing it would re-deconvolve already-emitted
+        frames through the fallback and bury the informative error."""
+        it = None
         try:
             from cwfa_tpu.data.native_tiff import PrefetchingTiffReader
             path = os.path.join(args.data_folder, "XLFM_image",
                                 "XLFM_image_stack.tif")
-            with PrefetchingTiffReader(path, pages=list(
-                    args.images_to_use)) as it:
+            it = PrefetchingTiffReader(path, pages=list(args.images_to_use))
+        except Exception:
+            it = None
+        if it is not None:
+            with it:
                 for page_ix, frame in it:
                     from cwfa_tpu.data.dataset import (_pad_to_square_img,
                                                        _center_crop_img)
@@ -106,8 +115,6 @@ def main(argv=None):
                                           (args.img_size, args.img_size))
                     yield page_ix, im
             return
-        except Exception:
-            pass
         ds = XLFMDataset(args.data_folder, lenslet,
                          img_shape=(args.img_size, args.img_size),
                          images_to_use=args.images_to_use, load_vols=False)

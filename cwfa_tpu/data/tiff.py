@@ -96,8 +96,13 @@ class BackgroundTiffWriter:
                 return
             if self.errors:
                 continue               # drain after failure
-            path, arr = item
+            path, arr, dtype = item
             try:
+                if dtype is not None:
+                    # dtype conversion on THIS thread: a ~100 MB astype on
+                    # the producer thread would sit in the serving latency
+                    # path the background writer exists to keep clear
+                    arr = arr.astype(dtype, copy=False)
                 write_tiff_stack(path, arr)
             except Exception as e:     # surfaced on the caller's thread
                 self.errors.append(e)
@@ -106,9 +111,9 @@ class BackgroundTiffWriter:
         if self.errors:
             raise RuntimeError("volume writer failed") from self.errors[0]
 
-    def put(self, path: str, arr: np.ndarray):
+    def put(self, path: str, arr: np.ndarray, dtype=None):
         self._check()
-        self._q.put((path, arr))
+        self._q.put((path, arr, dtype))
 
     def close(self):
         """Flush remaining jobs, join the thread, surface any failure."""

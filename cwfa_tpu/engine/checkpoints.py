@@ -36,8 +36,13 @@ def _to_numpy(tree):
 def save_step_checkpoint(path: str, step: int, epoch: int, cfg: CWFAConfig,
                          inn_params=None, cond_params=None, opt_state=None,
                          train_statistics: DatasetStatistics | None = None,
-                         posfix: str = "", model_state=None):
-    """Write ``<path>/model_step_<step>__ep_<epoch><posfix>.msgpack``.
+                         posfix: str = "", model_state=None,
+                         prefix: str = "model_step_"):
+    """Write ``<path>/<prefix><step>__ep_<epoch><posfix>.msgpack``.
+
+    prefix: non-CWFA models (the XLFMNet baseline) use their own prefix so
+    ``discover_checkpoints``'s ``model_step_*`` glob never maps them onto a
+    flow-step index.
 
     model_state: non-parameter model state riding with the LRNN step (the
     UNet BatchNorm running statistics — load-bearing for eval-mode
@@ -58,7 +63,7 @@ def save_step_checkpoint(path: str, step: int, epoch: int, cfg: CWFAConfig,
         "training_statistics": (list(train_statistics.astuple())
                                 if train_statistics is not None else []),
     }
-    fname = os.path.join(path, f"model_step_{step}__ep_{epoch}{posfix}.msgpack")
+    fname = os.path.join(path, f"{prefix}{step}__ep_{epoch}{posfix}.msgpack")
     with open(fname, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
     return fname
@@ -80,6 +85,8 @@ def discover_checkpoints(path: str, prefix: str = "model_step_*__ep_*",
         if len(nums) < 2:
             continue
         step, ep = int(nums[0]), int(nums[1])
+        if step < 1:      # flow steps are 1-based (networks.py:721); a
+            continue      # foreign step-0 file must not map to index -1
         if max_epoch is not None and ep > max_epoch:
             continue
         if step not in best or ep > best[step][0]:

@@ -178,8 +178,10 @@ def serve_directory(reconstructor, batch_size, img_hw, in_dir, out_dir,
     writer = BackgroundTiffWriter(maxsize=2 * batch_size)
 
     def enqueue(i, v):
+        # dtype conversion happens on the writer thread (put(dtype=...)) —
+        # not here in the batch-dispatch latency path
         writer.put(os.path.join(out_dir, f"XLFM_stack_{i}.tif"),
-                   v.astype(out_dtype))
+                   v, dtype=out_dtype)
 
     svc = ReconstructionService(reconstructor, batch_size, img_hw,
                                 on_volume=enqueue)

@@ -1053,10 +1053,12 @@ class CWFATrainer:
             loaded.append(step)
         if lr_overrides:
             for k, lr in lr_overrides.items():
+                # swap ONLY the transform: a Lion state is lr-independent
+                # (count + params-shaped momenta), so the opt_flow[k] state
+                # restored from the checkpoint above stays valid — re-init
+                # here would zero the just-restored momenta
                 self.tx_flow_steps[k] = _optax.lion(
                     lr, b1=0.9, b2=0.99,
                     weight_decay=self.cfg.learning_weight_decay)
-                self.opt_flow[k] = self.tx_flow_steps[k].init(
-                    self.params["flow"][k])
             self._build_jitted()   # flow steps close over their tx
         return loaded

@@ -130,7 +130,10 @@ def run_xlfmnet(cfg, train_ds, test_ds, stats, view_indices,
                "volumes_pred": [], "volumes_gt": [], "CC": None,
                "projections_gt": [], "projections_predicted": []}
         if ds is not None and len(ds):
-            tv, tg = stack_norm(ds)
+            # the train stacks were just built for training — don't
+            # re-decode ~100 MB/frame of camera pages for the train tag
+            tv, tg = ((views_n, vols_n) if ds is train_ds
+                      else stack_norm(ds))
             bs = max(int(cfg.batch_size), 1)
             t0 = time.perf_counter()
             pred = np.concatenate(
@@ -146,8 +149,10 @@ def run_xlfmnet(cfg, train_ds, test_ds, stats, view_indices,
                 res["times"].append(dt)
         results[tag] = res
     if output_path:
+        # own prefix: the CWFA loaders' model_step_* discovery must never
+        # map this checkpoint onto a flow-step index
         save_step_checkpoint(output_path, step=0,
                              epoch=max(int(cfg.epochs), 1) - 1, cfg=cfg,
                              cond_params=params, model_state=state,
-                             posfix="_xlfmnet")
+                             prefix="xlfmnet_step_")
     return results

@@ -65,6 +65,10 @@ def sharded_train_step(mesh: Mesh, train_step_fn, batch_args_ix):
 
 
 _RECON_JIT_CACHE: dict = {}
+_RECON_JIT_CACHE_MAX = 8    # FIFO-bounded: each entry pins a compiled XLA
+                            # program AND the model it closes over; sweeps
+                            # over meshes/temperatures must not accumulate
+                            # them for the process lifetime
 
 
 def sharded_reconstruct(mesh: Mesh, model, params, mstate, views_n,
@@ -93,6 +97,8 @@ def sharded_reconstruct(mesh: Mesh, model, params, mstate, views_n,
                                      z_temperature=z_temperature, rng=key,
                                      train=False,
                                      lrnn_train=key is not None)
+        while len(_RECON_JIT_CACHE) >= _RECON_JIT_CACHE_MAX:
+            _RECON_JIT_CACHE.pop(next(iter(_RECON_JIT_CACHE)))
         _RECON_JIT_CACHE[cache_key] = run
 
     params = jax.device_put(params, rep)

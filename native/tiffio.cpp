@@ -263,14 +263,17 @@ struct Prefetcher {
 
   void run() {
     for (int pg : pages) {
-      // every page must match page 0's geometry: the buffers here AND the
-      // consumer's numpy arrays are sized from page 0, and tiff_read_page
-      // writes the page's OWN height*width*elem bytes — a larger page
-      // would overflow the heap buffer.
+      // every page must match the first selected page's geometry: the
+      // buffers here AND the consumer's numpy arrays are sized/typed from
+      // it, and tiff_read_page writes the page's OWN bytes — a larger
+      // page would overflow the heap buffer, and an equal-byte page of
+      // different shape/dtype would be silently reinterpreted.
       bool ok_geom = pg >= 0 && pg < (int)tiff->ifds.size();
       if (ok_geom) {
         const Ifd& p = tiff->ifds[pg];
-        ok_geom = (uint64_t)p.height * p.width * (p.bits / 8) == page_bytes;
+        const Ifd& p0 = tiff->ifds[pages[0]];
+        ok_geom = p.height == p0.height && p.width == p0.width
+                  && p.bits == p0.bits && p.sample_format == p0.sample_format;
       }
       if (!ok_geom) {
         std::unique_lock<std::mutex> lk(mu);

@@ -145,8 +145,12 @@ def test_train_cli_xlfmnet_baseline(rig, tmp_path):
     ])
     assert results["train"]["psnr"] and results["test"]["psnr"]
     assert np.isfinite(results["train"]["psnr"][0][0])
-    cks = _glob.glob(os.path.join(out_root, "*", "*_xlfmnet*"))
+    cks = _glob.glob(os.path.join(out_root, "*", "xlfmnet_step_*"))
     assert cks, "no XLFMNet checkpoint written"
+    # the CWFA checkpoint discovery must NOT pick it up (a step-0 file
+    # would restore into cond[-1] via negative indexing)
+    from cwfa_tpu.engine.checkpoints import discover_checkpoints
+    assert discover_checkpoints(os.path.dirname(cks[0])) == {}
 
 
 def test_deconvolve_cli_depth_sharded_matches(rig, tmp_path):
