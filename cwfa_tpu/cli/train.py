@@ -31,11 +31,19 @@ from cwfa_tpu.data.dataset import read_lenslet_centers
 
 
 def _count_frames(path: str) -> int:
-    """Pages in the dataset's image stack (0 if unreadable)."""
+    """Usable frames in the dataset: image-stack pages, capped by the
+    per-frame volume TIFF count when a volume dir exists (a dataset whose
+    camera stack outruns its deconvolved volumes would otherwise pass
+    clamp_indices and crash in XLFMDataset's volume lookup).  0 if
+    unreadable."""
     try:
         from cwfa_tpu.data.tiff import count_tiff_pages
-        return count_tiff_pages(
+        n = count_tiff_pages(
             os.path.join(path, "XLFM_image", "XLFM_image_stack.tif"))
+        vols = glob.glob(os.path.join(path, "XLFM_stack", "*.tif"))
+        if vols:
+            n = min(n, len(vols))
+        return n
     except Exception:
         return 0
 from cwfa_tpu.engine.ood import detect_ood

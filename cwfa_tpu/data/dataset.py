@@ -287,10 +287,13 @@ class ConcatXLFMDataset:
         fish."""
         mx = self.get_max()
         for d in self.datasets:
+            # zero guards (like apply_volume_norm's): an all-zero stack or
+            # a views-only dataset (load_vols=False keeps a zeros dummy)
+            # must not 0/0 into NaNs
             d.stacked_views = (d.stacked_views
-                               / float(d.stacked_views.max()) * mx[0]
-                               ).astype(d.stacked_views.dtype)
-            d.vols = (d.vols / float(d.vols.max()) * mx[2]
+                               / (float(d.stacked_views.max()) or 1.0)
+                               * mx[0]).astype(d.stacked_views.dtype)
+            d.vols = (d.vols / (float(d.vols.max()) or 1.0) * mx[2]
                       ).astype(d.vols.dtype)
 
     def standarize_datasets(self, stats: DatasetStatistics | None = None):

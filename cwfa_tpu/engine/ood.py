@@ -52,11 +52,10 @@ def detect_ood(trainer: CWFATrainer, dataset: ConcatXLFMDataset,
     nll_by_ix = {}
     for di, ixs in trainer._batches(dataset):
         vols = []
-        for ix in ixs:
-            _, vol, _ = trainer._sample_inputs(dataset, ix)
-            vols.append(vol)
-        batch = vols[0] if len(vols) == 1 else np.concatenate(
-            [np.asarray(v) for v in vols])
+        for ix in ixs:     # volumes only — _sample_inputs would also run
+            dj, li = dataset.locate(ix)   # the jitted view extraction
+            vols.append(np.asarray(dataset.datasets[dj].vols[li][None]))
+        batch = vols[0] if len(vols) == 1 else np.concatenate(vols)
         per_step, _, _, _ = trainer._pyramid(trainer.params, batch,
                                              trainer._next_key())
         per_step = np.asarray(per_step)           # (nf, B)

@@ -145,6 +145,15 @@ class CWFATrainer:
 
         # host-side caches
         self.gt_cache: dict = {"train": {}, "val": {}, "test": {}}
+        # GT-pyramid cache bound (bytes, across all tags): entries are
+        # device arrays ~2x the volume bytes (~200 MB/frame at flagship) —
+        # unbounded, a 250-frame eval would exhaust HBM.  Insertion-order
+        # eviction; typical train splits (<=20 flagship frames) stay fully
+        # cached, large eval splits recompute per eval pass (the reference
+        # recomputes its forward per sample per epoch anyway,
+        # CWFA.py:808-823).
+        self.gt_cache_max_bytes: int = 4 << 30
+        self._gt_cache_order: list = []     # (tag, ix) insertion log
         self.nll_cache: dict = {"train": {}, "val": {}, "test": {}}
         self.upsampled_cache: dict = {}
         self.mean_caches: dict = {}      # dataset_ix -> list of cache levels
@@ -388,8 +397,10 @@ class CWFATrainer:
                      or cache[ix][0] != self._params_version)]
         if not stale:
             return
-        vols = [np.asarray(self._sample_inputs(dataset, ix)[1])
-                for ix in stale]
+        vols = []
+        for ix in stale:       # volumes only — _sample_inputs would also
+            di, li = dataset.locate(ix)   # run the jitted view extraction
+            vols.append(np.asarray(dataset.datasets[di].vols[li][None]))
         batch = vols[0] if len(vols) == 1 else np.concatenate(vols)
         nlls, _, _, _ = self._pyramid(self.params, batch, self._next_key())
         nlls = np.asarray(nlls)
@@ -416,7 +427,25 @@ class CWFATrainer:
             # training step invalidates them (the gt pyramid does not)
             self.nll_cache.setdefault(tag, {})[ix] = (
                 self._params_version, np.asarray(nlls)[:, 0])
+            self._gt_cache_order.append((tag, ix))
+            self._evict_gt_cache()
         return self.gt_cache[tag][ix]
+
+    def _evict_gt_cache(self):
+        """Keep the GT-pyramid cache under gt_cache_max_bytes (entries are
+        device arrays); oldest-inserted-first ACROSS tags (the per-tag
+        dicts only order within a tag), never evicting the newest entry.
+        Callers holding a Python reference to an evicted pyramid (the
+        current mini-batch) keep it alive regardless."""
+        entry_bytes = lambda e: sum(int(x.nbytes) for x in e)
+        order = self._gt_cache_order
+        total = sum(entry_bytes(e) for c in self.gt_cache.values()
+                    for e in c.values())
+        while total > self.gt_cache_max_bytes and len(order) > 1:
+            tag, ix = order.pop(0)
+            e = self.gt_cache[tag].pop(ix, None)
+            if e is not None:
+                total -= entry_bytes(e)
 
     # ----------------------------------------------------------- training
     def stage_for_epoch(self, epoch: int) -> int:
@@ -567,6 +596,16 @@ class CWFATrainer:
                                          sub), exist_ok=True)
             writer = BackgroundTiffWriter(maxsize=16)
 
+        # all-frame level-0 MIP retention (loop-invariant): exactly when
+        # the finalize_results stack_MIP artifact will consume them —
+        # save_tiff_volumes, not fine-tune, output path set; ANY tag (the
+        # reference writes each phase's stack from its own run dir,
+        # CWFA.py:1266-1286 + main.py:387-394).  ~1 MB f16/frame-pair at
+        # flagship, replaced wholesale on the next evaluate() call.
+        keep_all_mips = bool(cfg.save_tiff_volumes and not cfg.fine_tune
+                             and self.output_path)
+        to_f16 = lambda a: np.clip(a, -65504, 65504).astype(np.float16)
+
         # per-fish streaming trace accumulators for the CC metric
         from cwfa_tpu.engine.metrics import RoiTraceAccumulator
         accs: dict = {}
@@ -635,16 +674,9 @@ class CWFATrainer:
                 # volume-dump form).  float16 with a finite clip (the
                 # reference's f16 cast at the stack concat, CWFA.py:1266,
                 # overflows to inf above 65504 — clipped here instead so
-                # the TB grids never normalize to NaN).  Every frame when
-                # the final stack_MIP artifacts will consume them
-                # (train-tag run with an output path, save_tiff_volumes,
-                # not fine-tune — finalize_results' exact gate), else
-                # first 10 only — keeps the bounded-memory eval bounded.
-                keep_all_mips = (cfg.save_tiff_volumes and not cfg.fine_tune
-                                 and self.output_path and tag == "train")
+                # the TB grids never normalize to NaN).  Every frame under
+                # keep_all_mips (see above), else first 10 only.
                 if frame_no < 10 or keep_all_mips:
-                    to_f16 = lambda a: np.clip(a, -65504, 65504) \
-                        .astype(np.float16)
                     res["projections_gt"].append(
                         to_f16(volume_2_projections(gt_t0)[0]))
                     res["projections_predicted"].append(

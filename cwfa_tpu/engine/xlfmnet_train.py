@@ -32,9 +32,16 @@ def make_xlfmnet_train_step(spec: XLFMNetSpec, tx, loss_kind: str = "L2"):
 
 def train_xlfmnet(spec: XLFMNetSpec, views, gt_volumes, n_steps: int = 100,
                   learning_rate: float = 1e-4, loss_kind: str = "L2",
-                  seed: int = 0):
+                  seed: int = 0, batch_size: int = 1):
     """Small self-contained fit loop; views (N, 29, H, W),
-    gt_volumes (N, D, H, W). Returns (params, state, losses)."""
+    gt_volumes (N, D, H, W). Returns (params, state, losses).
+
+    Mini-batches of ``batch_size`` in a per-epoch-shuffled order (one
+    compiled step program as long as batch_size divides evenly into the
+    reshuffled index stream — the tail wraps around rather than producing
+    a second program shape)."""
+    import numpy as np
+
     key = jax.random.PRNGKey(seed)
     key, k_init = jax.random.split(key)
     params, state = init_xlfmnet(k_init, spec)
@@ -43,12 +50,17 @@ def train_xlfmnet(spec: XLFMNetSpec, views, gt_volumes, n_steps: int = 100,
     step = make_xlfmnet_train_step(spec, tx, loss_kind)
     losses = []
     n = views.shape[0]
+    bs = max(1, min(int(batch_size), n))
+    rng = np.random.RandomState(seed)
+    order: list = []
     for i in range(n_steps):
+        while len(order) < bs:
+            order.extend(rng.permutation(n).tolist())
+        ixs = np.asarray(order[:bs])
+        del order[:bs]
         key, k = jax.random.split(key)
-        ix = i % n
         params, state, opt_state, loss = step(
-            params, state, opt_state, views[ix:ix + 1],
-            gt_volumes[ix:ix + 1], k)
+            params, state, opt_state, views[ixs], gt_volumes[ixs], k)
         losses.append(float(loss))
     return params, state, losses
 
@@ -112,12 +124,13 @@ def run_xlfmnet(cfg, train_ds, test_ds, stats, view_indices,
         return np.concatenate(out), np.stack(vols)
 
     views_n, vols_n = stack_norm(train_ds)
-    n_steps = max(int(cfg.epochs), 1) * len(train_ds)
+    bs = max(1, min(int(cfg.batch_size), len(train_ds)))
+    n_steps = max(int(cfg.epochs), 1) * max(len(train_ds) // bs, 1)
     # numpy (host) arrays on purpose: train_xlfmnet slices per step, so
     # only the active batch rides device memory
     params, state, losses = train_xlfmnet(
-        spec, views_n, vols_n,
-        n_steps=n_steps, learning_rate=cfg.learning_rate_first_step,
+        spec, views_n, vols_n, n_steps=n_steps, batch_size=bs,
+        learning_rate=cfg.learning_rate_first_step,
         loss_kind=cfg.loss_func_first_step, seed=cfg.seed)
     if verbose:
         print(f"XLFMNet: {n_steps} steps, loss {losses[0]:.5f} -> "

@@ -162,3 +162,47 @@ def test_nll_cache_invalidated_on_param_update(rig):
     assert not np.allclose(np.stack(r0["nll"]), np.stack(r1["nll"]))
     assert all(id(tr.gt_cache["val"][ix]) == pid
                for ix, pid in pyr_ids.items())
+
+
+def test_gt_cache_byte_bound_evicts_and_eval_still_correct(rig):
+    """The GT-pyramid cache is byte-bounded (device arrays, ~2x volume
+    bytes per frame — unbounded it exhausts HBM on a 250-frame eval).
+    With a bound smaller than the dataset, eviction cycles but evaluation
+    results are identical to the unbounded trainer's."""
+    tr_a = CWFATrainer(rig["model"], rig["stats"], rig["vidx"], seed=7)
+    tr_b = CWFATrainer(rig["model"], rig["stats"], rig["vidx"], seed=7)
+    # bound below two entries' bytes: cache can hold at most ~1 frame
+    one_entry = sum(
+        int(np.asarray(x).nbytes)
+        for x in tr_a._pyramid(tr_a.params,
+                               np.zeros((1, N_DEPTHS, VIEW, VIEW),
+                                        np.float32),
+                               jax.random.PRNGKey(0))[1])
+    tr_b.gt_cache_max_bytes = int(one_entry * 1.5)
+    ra = tr_a.evaluate(rig["cat"], "val")
+    rb = tr_b.evaluate(rig["cat"], "val")
+    n_cached = sum(len(c) for c in tr_b.gt_cache.values())
+    assert n_cached <= 2 < len(rig["cat"])          # eviction happened
+    assert sum(len(c) for c in tr_a.gt_cache.values()) == len(rig["cat"])
+    np.testing.assert_allclose(np.asarray(ra["psnr"]),
+                               np.asarray(rb["psnr"]), rtol=1e-5)
+
+
+def test_normalize_datasets_zero_guard():
+    """A views-only dataset (zeros dummy volumes) must not NaN under
+    normalize_datasets (apply_volume_norm's guard, now here too)."""
+    from cwfa_tpu.data.dataset import XLFMDataset
+
+    class _Stub(XLFMDataset):
+        def __init__(self):      # bypass file IO
+            self.stacked_views = np.ones((2, 8, 8), np.float32)
+            self.vols = np.zeros((1,), np.float32)
+            self.ds_id = "stub"
+
+    ds = _Stub()
+    cat = ConcatXLFMDataset.__new__(ConcatXLFMDataset)
+    cat.datasets = [ds]
+    cat.max_values = None
+    cat.normalize_datasets()
+    assert np.isfinite(ds.stacked_views).all()
+    assert np.isfinite(ds.vols).all()
