@@ -56,6 +56,14 @@ class XLFMReconstructor:
             if calib_frames is None:
                 raise ValueError("int8 paths require calib_frames "
                                  "(a batch of raw camera frames)")
+            if use_int8 and not deterministic:
+                # lrnn() routes to the int8 UNet only when not train; with
+                # deterministic=False reconstruct passes lrnn_train=True
+                # and the pack would be calibrated, paid for, and silently
+                # unused (it folds eval-mode BatchNorm stats — there is no
+                # train-mode int8 form)
+                raise ValueError("use_int8 requires deterministic=True "
+                                 "(the int8 UNet folds eval-mode BN stats)")
             calib_views = jax.jit(_norm_views)(jnp.asarray(calib_frames))
             if use_int8:
                 self._unet_q = jax.tree_util.tree_map(

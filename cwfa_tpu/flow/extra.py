@@ -109,7 +109,9 @@ def reshape(x, target_shape, rev=False, input_shape=None):
 def turn_2d_to_3d(x, split_factor=3):
     """(B, C, H, W) -> (B, split, H, W, C/split) by channel groups."""
     b, c, h, w = x.shape
-    g = c // split_factor
+    if c % split_factor:
+        raise ValueError(f"channels {c} not divisible by split_factor "
+                         f"{split_factor}")
     parts = [jnp.transpose(p, (0, 2, 3, 1))[:, None]
              for p in jnp.split(x, split_factor, axis=1)]
     return jnp.concatenate(parts, axis=1)

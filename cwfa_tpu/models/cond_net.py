@@ -163,10 +163,18 @@ def _conv3d_pair_depthbatch_int8(params, out, act, q):
         preferred_element_type=jnp.int32)
     v = (v.astype(jnp.float32) * q["sb"][None, :, None, None]
          ).astype(out.dtype).reshape(b, d, 3, h, w)
+    return _band_add(v, params["c3b"].get("b"))
+
+
+def _band_add(v, bb):
+    """The 3-tap depth band-add epilogue shared by every conv_b form:
+    z[c] = v[c-1, dc=0] + v[c, dc=1] + v[c+1, dc=2] (SAME-padded band),
+    plus the conv_b bias.  v: (B, D, 3, H, W).  Numerics-critical — one
+    definition so the band convention can never drift between the
+    depthbatch / int8 / depthtile paths."""
     z = v[:, :, 1]
     z = z.at[:, 1:].add(v[:, :-1, 0])
     z = z.at[:, :-1].add(v[:, 1:, 2])
-    bb = params["c3b"].get("b")
     if bb is not None:
         z = z + bb.astype(z.dtype)[None, :, None, None]
     return z
@@ -198,13 +206,7 @@ def _conv3d_pair_depthbatch(params, out, act, drop_rate, rng):
                       y / keep, 0.0).astype(y.dtype)
     w_b = jnp.transpose(wb[0], (3, 0, 1, 2))              # (3dc, K, 3, 3)
     v = cnn.conv2d({"w": w_b}, y).reshape(b, d, 3, h, w)
-    # z[c] = sum_dc v[c + dc - 1, dc]   (SAME-padded band)
-    z = v[:, :, 1]
-    z = z.at[:, 1:].add(v[:, :-1, 0])
-    z = z.at[:, :-1].add(v[:, 1:, 2])
-    if bb is not None:
-        z = z + bb.astype(z.dtype)[None, :, None, None]
-    return z
+    return _band_add(v, bb)
 
 
 @lru_cache(maxsize=32)
@@ -251,12 +253,7 @@ def _conv3d_pair_depthtile(params, out, act, drop_rate, rng, t: int = 4):
     wb, bb = params["c3b"]["w"], params["c3b"].get("b")
     w_b = jnp.transpose(wb[0], (3, 0, 1, 2))
     v = cnn.conv2d({"w": w_b}, y).reshape(b, d, 3, h, w)
-    z = v[:, :, 1]
-    z = z.at[:, 1:].add(v[:, :-1, 0])
-    z = z.at[:, :-1].add(v[:, 1:, 2])
-    if bb is not None:
-        z = z + bb.astype(z.dtype)[None, :, None, None]
-    return z
+    return _band_add(v, bb)
 
 
 def _conv3d_pair_direct(params, out, act, drop_rate, rng):

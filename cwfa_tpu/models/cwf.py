@@ -184,14 +184,10 @@ def _apply_perm(spec_entry, x, inverse: bool):
 
 
 def _bd(wa, wb):
-    """Block-diagonal concat of two OIHW kernels."""
-    oa, ia = wa.shape[:2]
-    ob, ib = wb.shape[:2]
-    top = jnp.concatenate(
-        [wa, jnp.zeros((oa, ib) + wa.shape[2:], wa.dtype)], 1)
-    bot = jnp.concatenate(
-        [jnp.zeros((ob, ia) + wb.shape[2:], wb.dtype), wb], 1)
-    return jnp.concatenate([top, bot], 0)
+    """Block-diagonal concat of two OIHW kernels (the shared builder lives
+    with the other pairing machinery in models/cond_net)."""
+    from cwfa_tpu.models.cond_net import _block_diag_w
+    return _block_diag_w([wa, wb])
 
 
 def _pair_conv(pa, pb, shared_input: bool):

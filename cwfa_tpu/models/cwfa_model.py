@@ -222,6 +222,14 @@ class CWFAModel:
         nxt = (lambda: next(rngs)) if rngs is not None else (lambda: None)
         nf = self.n_flow_steps
         b = cond_input.shape[0]
+        # mean caches are naturally batch-1 (one per fish); broadcast ONCE
+        # here so every downstream path (input block concat, cond stack,
+        # LRNN mean branch) sees batch-matched conditions — previously only
+        # the n_samples>1 branch broadcast, and batch>1 single-sample
+        # reconstruction crashed in the input-block concatenate
+        mean_caches = [c if c.shape[0] == b
+                       else jnp.broadcast_to(c, (b,) + c.shape[1:])
+                       for c in mean_caches]
         force_all_nf = bool(self.cfg.force_all_steps_NF)
         if self.cfg.force_last_step_NF:
             # Last stage is a flow (CWFA.py:781 extends steps_to_reconstruct
@@ -287,11 +295,8 @@ class CWFAModel:
             if n_samples > 1:
                 up_in = jnp.tile(up, (n_samples, 1, 1, 1))
                 cv = jnp.tile(c_views, (n_samples, 1, 1, 1))
-                # mean caches may be batch-1 (make_mean_caches): broadcast
-                # to b BEFORE tiling so cm lands at b*n_samples like the
-                # other operands, not n_samples
-                cm = jnp.tile(jnp.broadcast_to(
-                    c_mean, (b,) + c_mean.shape[1:]), (n_samples, 1, 1, 1))
+                # c_mean is already batch-b (broadcast at entry)
+                cm = jnp.tile(c_mean, (n_samples, 1, 1, 1))
                 if isr is not None:
                     isr = jnp.tile(isr, (n_samples, 1, 1, 1))
                 v, _ = cwf_step_reverse(spec, params["flow"][k], z, up_in,

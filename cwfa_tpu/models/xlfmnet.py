@@ -24,10 +24,16 @@ class XLFMNetSpec:
 
     def __post_init__(self):
         if self.unet is None:
+            # drop_out=0, NOT the reference's unet_settings default of 1.0
+            # (networks.py:762): there it flows into F.dropout2d whose
+            # functional default is training=True, so every channel is
+            # dropped ALWAYS — the reference XLFMNet is untrainable as
+            # declared (consistent with run_CWFA never building it).  A
+            # default-constructed spec here must be a usable model.
             object.__setattr__(self, "unet", UNetSpec(
                 in_channels=self.out_depths, n_classes=self.out_depths,
                 depth=5, wf=6, batch_norm=True, use_bias=self.use_bias,
-                skip_conn=False, drop_out=1.0, activation="elu"))
+                skip_conn=False, drop_out=0.0, activation="elu"))
 
 
 def init_xlfmnet(key, spec: XLFMNetSpec):

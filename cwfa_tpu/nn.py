@@ -348,6 +348,10 @@ def dropout2d(x, rate: float, rng):
     """Channel dropout on (B, C, H, W) — zeroes whole channels (torch Dropout2d)."""
     if rng is None or rate == 0.0:
         return x
+    if rate >= 1.0:
+        # torch semantics: p=1 returns clean zeros with zero grads; the
+        # x/keep form below would emit NaN gradients through the 1/0
+        return jnp.zeros_like(x)
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape[:2])
     return jnp.where(mask[(...,) + (None,) * (x.ndim - 2)], x / keep, 0.0).astype(x.dtype)

@@ -160,3 +160,39 @@ def test_mean_branch_is_frame_independent():
     np.testing.assert_allclose(np.asarray(mb4),
                                np.broadcast_to(np.asarray(mb1), mb4.shape),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_reconstruct_broadcasts_batch1_mean_caches():
+    """Batch-1 mean caches (one per fish) must work for ANY batch size and
+    every reconstruct branch — regression: the n_samples==1 path with
+    train=True crashed in the input-block concatenate at batch>1."""
+    cfg = _cfg()
+    model, params, mstate, vidx, caches, stats, frames = _setup(cfg)
+    views = extract_views(frames, vidx)
+    views_n = ((views - stats.mean_imgs) / stats.std_imgs)
+    # train=True disables the input-tower pairing precompute -> the raw
+    # _input_block path that concatenates c_mean with c_views
+    vol = model.reconstruct(params, mstate, views_n, caches,
+                            z_temperature=0.0, train=True,
+                            rng=jax.random.PRNGKey(1))
+    assert vol.shape[0] == views_n.shape[0] == 2
+    assert np.isfinite(np.asarray(vol)).all()
+    # batch-matched caches give the identical program output
+    caches_b = [jnp.broadcast_to(c, (2,) + c.shape[1:]) for c in caches]
+    vol_b = model.reconstruct(params, mstate, views_n, caches_b,
+                              z_temperature=0.0, train=True,
+                              rng=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(vol), np.asarray(vol_b),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_int8_requires_deterministic():
+    """use_int8 + deterministic=False would silently run the bf16 UNet
+    (lrnn routes to the int8 pack only when not train) — must raise."""
+    import pytest
+    cfg = _cfg()
+    model, params, mstate, vidx, caches, stats, frames = _setup(cfg)
+    with pytest.raises(ValueError, match="deterministic"):
+        XLFMReconstructor(model, params, mstate, stats, vidx, caches,
+                          deterministic=False, use_int8=True,
+                          calib_frames=np.asarray(frames))

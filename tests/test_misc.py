@@ -169,3 +169,27 @@ def test_native_prefetch_rejects_geometry_mismatch(tmp_path):
         got = dict((ix, f.copy()) for ix, f in it)
     np.testing.assert_array_equal(
         got[1], np.arange(256, dtype=np.uint16).reshape(16, 16))
+
+
+def test_sample_z_helpers_contracts():
+    """sample_z_truncated (CWFA.py:47-64) and sample_z_rev_like
+    (CWFA.py:66-82): zeros at T=0, truncation bounds, the rev helper's
+    (B, 3W, H, W) layout variant and same_size/shape-tuple modes."""
+    import jax
+    import jax.numpy as jnp
+
+    from cwfa_tpu.models.cwfa_model import (sample_z_rev_like,
+                                            sample_z_truncated)
+
+    k = jax.random.PRNGKey(0)
+    assert not sample_z_truncated(k, (2, 3), 0.0).any()
+    z = sample_z_truncated(k, (512,), 0.7)
+    assert float(jnp.abs(z).max()) <= 0.7
+
+    x = jnp.zeros((2, 5, 8, 4))
+    assert sample_z_rev_like(k, x, 0.0).shape == (2, 12, 8, 4)
+    assert not sample_z_rev_like(k, x, 0.0).any()
+    assert sample_z_rev_like(k, x, 0.5, same_size=True).shape == x.shape
+    assert sample_z_rev_like(k, (3, 4), 0.5).shape == (3, 4)
+    s = sample_z_rev_like(k, x, 0.25, same_size=True)
+    assert 0 < float(jnp.std(s)) < 0.5     # gaussian scaled by temperature
