@@ -118,7 +118,10 @@ def main(argv=None):
         ds = XLFMDataset(args.data_folder, lenslet,
                          img_shape=(args.img_size, args.img_size),
                          images_to_use=args.images_to_use, load_vols=False)
-        for pos, img_ix in enumerate(args.images_to_use[: len(ds)]):
+        # ds.images_to_use is the FILTERED page list — pairing positions
+        # against the unfiltered request would mislabel frames when any
+        # requested page was out of range
+        for pos, img_ix in enumerate(ds.images_to_use):
             yield img_ix, ds.stacked_views[pos]
 
     mesh = None

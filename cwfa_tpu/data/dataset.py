@@ -66,12 +66,22 @@ def _center_crop_img(img: np.ndarray, target_hw) -> np.ndarray:
 
 
 def _center_crop_vol_spatial(vol: np.ndarray, side_hw) -> np.ndarray:
-    """reference crop_volume_center (utils.py:105-126) on (D, H, W)."""
+    """reference crop_volume_center (utils.py:105-126) on (D, H, W): the
+    reference's h//2 - th//2 start for the crop case, plus zero-padding
+    for dimensions SMALLER than the target (the reference only ever
+    crops; a negative slice start here silently returned a corner
+    fragment instead)."""
     _, h, w = vol.shape
-    cy, cx = h // 2, w // 2
-    y0 = cy - side_hw[0] // 2
-    x0 = cx - side_hw[1] // 2
-    return vol[:, y0:y0 + side_hw[0], x0:x0 + side_hw[1]]
+    th, tw = side_hw
+    ch, cw = min(h, th), min(w, tw)
+    y0 = min(max(h // 2 - th // 2, 0), h - ch)
+    x0 = min(max(w // 2 - tw // 2, 0), w - cw)
+    if ch == th and cw == tw:
+        return vol[:, y0:y0 + th, x0:x0 + tw]
+    out = np.zeros((vol.shape[0], th, tw), vol.dtype)
+    dy, dx = max((th - h) // 2, 0), max((tw - w) // 2, 0)
+    out[:, dy:dy + ch, dx:dx + cw] = vol[:, y0:y0 + ch, x0:x0 + cw]
+    return out
 
 
 class XLFMDataset:
@@ -95,12 +105,31 @@ class XLFMDataset:
 
         imgs_path = os.path.join(data_path, "XLFM_image",
                                  "XLFM_image_stack.tif")
+        if images_to_use is not None:
+            # pre-filter out-of-range pages HERE so the image rows and the
+            # volume lookup below stay index-aligned — the readers filter
+            # internally, and zipping the unfiltered request against the
+            # filtered result would pair frame i's image with the wrong
+            # volume file
+            from cwfa_tpu.data.tiff import count_tiff_pages
+            try:
+                n_avail = count_tiff_pages(imgs_path)
+            except Exception:
+                n_avail = None
+            if n_avail is not None:
+                kept = [p for p in images_to_use if 0 <= p < n_avail]
+                if len(kept) != len(images_to_use):
+                    dropped = [p for p in images_to_use if p not in kept]
+                    print(f"warning: frames {dropped} out of range "
+                          f"(stack has {n_avail} pages) — skipped")
+                images_to_use = kept
         imgs = read_tiff_stack(imgs_path, pages=images_to_use)
         imgs = np.nan_to_num(imgs)
         imgs = np.clip(imgs, 0, 50000)
         self.n_images = imgs.shape[0]
         if images_to_use is None:
             images_to_use = list(range(self.n_images))
+        self.images_to_use = list(images_to_use)[:self.n_images]
 
         self.stacked_views = np.zeros((self.n_images,) + self.img_shape,
                                       np.float32)
@@ -111,7 +140,7 @@ class XLFMDataset:
         if load_vols:
             vols_glob = os.path.join(data_path, "XLFM_stack", "*.tif")
             files = {}
-            for idx_pos, img_ix in enumerate(images_to_use[:self.n_images]):
+            for idx_pos, img_ix in enumerate(self.images_to_use):
                 match = sorted(glob.glob(os.path.join(
                     data_path, "XLFM_stack", f"*{img_ix:03d}.tif")))
                 if not match:
@@ -230,10 +259,24 @@ class ConcatXLFMDataset:
         raise IndexError
 
     def get_statistics(self) -> DatasetStatistics:
-        imgs = np.concatenate([d.stacked_views.reshape(-1)
-                               for d in self.datasets])
-        vols = np.concatenate([d.vols.reshape(-1) for d in self.datasets])
-        return DatasetStatistics.compute(imgs, vols)
+        """Global mean/std (ddof=1) over all fish, streamed per dataset —
+        concatenating every pixel first would transiently double the
+        whole-dataset memory (multiple GB at flagship) for two scalars."""
+        def moments(arrs):
+            n = s = s2 = 0.0
+            for a in arrs:
+                a = a.astype(np.float64, copy=False)
+                n += a.size
+                s += float(a.sum())
+                s2 += float(np.square(a).sum())
+            mean = s / n
+            var = max(s2 - n * mean * mean, 0.0) / (n - 1)   # ddof=1
+            return mean, float(np.sqrt(var))
+        mi, si = moments(d.stacked_views for d in self.datasets)
+        mv, sv = moments(d.vols for d in self.datasets)
+        return DatasetStatistics(mean_imgs=mi, std_imgs=si,
+                                 mean_imgs_s=mi, std_imgs_s=si,
+                                 mean_vols=mv, std_vols=sv)
 
     def mean_volume(self, dataset_ix: int) -> np.ndarray:
         """Per-fish mean of the GT volumes (CWFA.py:645)."""

@@ -72,6 +72,9 @@ def load_psf(source, depths_to_use=-1, interleaved: bool = True) -> np.ndarray:
             if interleaved:
                 depths = np.linspace(0, psf.shape[1], n + 2).astype(np.int64)[1:-1]
             else:
+                # the reference's exact window (utils.py:585): note the +1
+                # shift off center, and that n >= D-1 indexes out of bounds
+                # — both replayed (the reference IndexErrors there too)
                 c = psf.shape[1] // 2
                 depths = list(range(c - n // 2 + 1, c - n // 2 + 1 + n))
     else:

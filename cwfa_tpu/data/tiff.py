@@ -30,8 +30,10 @@ def read_tiff_stack(path: str, pages=None) -> np.ndarray:
         pages = range(n)
     out = []
     for i in pages:
-        if i >= n:
-            break
+        if not 0 <= i < n:
+            continue    # skip-not-stop: the native reader FILTERS invalid
+            # pages, so an early break here would make the loaded frame
+            # set depend on which reader is available
         im.seek(i)
         out.append(np.asarray(im, dtype=np.float32))
     if not out:

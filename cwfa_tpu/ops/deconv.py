@@ -120,11 +120,24 @@ def xlfm_deconvolve_sharded(mesh, otf, img, n_iter: int, obj_hw=(512, 512),
     each depth's 2-D FFTs are independent and run shard-locally; the only
     cross-depth operation — the image-estimate sum — is one ``lax.psum``
     over the mesh axis.  Expressed with shard_map so the collective is
-    explicit. Numerically identical to ``xlfm_deconvolve``."""
+    explicit. Numerically identical to ``xlfm_deconvolve``.
+
+    The jitted program is cached on the static configuration: jit's own
+    cache keys on callable identity, so rebuilding the shard_map closure
+    per call re-traced AND re-compiled the whole n_iter FFT loop for
+    EVERY frame of a CLI run (plus the ~25 ms remote-compile round trip
+    per frame on this rig)."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     axis = "space" if "space" in mesh.axis_names else mesh.axis_names[-1]
+    cache_key = (mesh, int(n_iter), tuple(obj_hw), int(roi_depths),
+                 float(update_median_limit_multiplier),
+                 None if full_hw is None else tuple(full_hw),
+                 otf.shape, otf.dtype.name)
+    cached = _SHARDED_JIT_CACHE.get(cache_key)
+    if cached is not None:
+        return cached(otf, img)
     n_shards = mesh.shape[axis]
     n_depths = otf.shape[1]
     assert n_depths % n_shards == 0, (n_depths, n_shards)
@@ -172,4 +185,11 @@ def xlfm_deconvolve_sharded(mesh, otf, img, n_iter: int, obj_hw=(512, 512),
                     in_specs=(P(None, axis, None, None), P()),
                     out_specs=(P(None, axis, None, None), P()),
                     check_vma=False)
-    return jax.jit(run)(otf, img)
+    jitted = jax.jit(run)
+    while len(_SHARDED_JIT_CACHE) >= 8:
+        _SHARDED_JIT_CACHE.pop(next(iter(_SHARDED_JIT_CACHE)))
+    _SHARDED_JIT_CACHE[cache_key] = jitted
+    return jitted(otf, img)
+
+
+_SHARDED_JIT_CACHE: dict = {}

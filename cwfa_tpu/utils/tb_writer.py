@@ -36,7 +36,18 @@ def _make_table():
 _make_table()
 
 
+try:
+    # C implementation (~GB/s); the pure-python table loop below runs at
+    # ~6 MB/s, which put multi-second stalls in the eval path for every
+    # multi-MB image summary on this 1-core host
+    from google_crc32c import value as _crc32c_native
+except ImportError:                                  # pragma: no cover
+    _crc32c_native = None
+
+
 def _crc32c(data: bytes) -> int:
+    if _crc32c_native is not None:
+        return _crc32c_native(data)
     crc = 0xFFFFFFFF
     for b in data:
         crc = (_CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)) & 0xFFFFFFFF
@@ -54,6 +65,11 @@ def _masked_crc(data: bytes) -> int:
 
 
 def _varint(n: int) -> bytes:
+    # protobuf encodes negative int64 two's-complement as 10 bytes; the
+    # unmasked shift would leave a negative python int negative forever
+    # (an infinite loop on e.g. a negative global_step)
+    if n < 0:
+        n &= (1 << 64) - 1
     out = b""
     while True:
         b7 = n & 0x7F
@@ -168,11 +184,8 @@ class SummaryWriter:
     def add_figure(self, tag: str, figure, global_step: int = 0):
         """Render a matplotlib figure to RGB and log it as an image (the
         reference's writer.add_figure calls, CWFA.py:1070-1155)."""
-        figure.canvas.draw()
-        w, h = figure.canvas.get_width_height()
-        buf = np.frombuffer(figure.canvas.buffer_rgba(), dtype=np.uint8)
-        img = buf.reshape(h, w, 4)[..., :3].copy()
-        self.add_image(tag, img, global_step)
+        from cwfa_tpu.utils.plots import figure_to_array
+        self.add_image(tag, figure_to_array(figure), global_step)
         import matplotlib.pyplot as plt
         plt.close(figure)
 

@@ -210,3 +210,80 @@ def test_pad_crop_reference_parity():
 
     # odd-difference PSFs no longer raise (negative np.pad widths)
     assert _pad_to_square(np.ones((3, 5, 4), np.float32)).shape == (3, 3, 4)
+
+
+def _two_fish(tmp_path):
+    info = make_synthetic_dataset(str(tmp_path), n_fish=2, n_frames=2,
+                                  n_depths=8, vol_side=32, img_size=96,
+                                  n_lenslets=4, view_size=32)
+    dss = [load_xlfm_data(fd + "/SLNet_preprocessed", info["lenslet_file"],
+                          vol_shape=(32, 32, 8), img_shape=(96, 96),
+                          images_to_use=[0, 1], n_depths_to_fill=8)
+           for fd in info["fish_dirs"]]
+    return info, dss
+
+
+def test_streaming_statistics_match_concatenated(tmp_path):
+    """get_statistics streams per-dataset moments; must equal the
+    concatenate-everything form exactly (ddof=1)."""
+    from cwfa_tpu.data.stats import DatasetStatistics
+    info, dss = _two_fish(tmp_path)
+    cat = ConcatXLFMDataset(*dss)
+    got = cat.get_statistics()
+    imgs = np.concatenate([d.stacked_views.reshape(-1)
+                           for d in cat.datasets])
+    vols = np.concatenate([d.vols.reshape(-1) for d in cat.datasets])
+    want = DatasetStatistics.compute(imgs, vols)
+    # rtol covers f32 (compute) vs f64 (streaming) accumulation only
+    for f in ("mean_imgs", "std_imgs", "mean_vols", "std_vols"):
+        np.testing.assert_allclose(getattr(got, f), getattr(want, f),
+                                   rtol=1e-6)
+
+
+def test_out_of_range_pages_keep_image_volume_pairing(tmp_path):
+    """Requesting a page beyond the stack must SKIP it consistently in
+    both the image rows and the volume lookup — the unfiltered request
+    zipped against the filtered frames paired image i with volume 999."""
+    info, _ = _two_fish(tmp_path)
+    fish = info["fish_dirs"][0] + "/SLNet_preprocessed"
+    ds_ok = XLFMDataset(fish, info["lenslet_file"], img_shape=(96, 96),
+                        images_to_use=[0, 1], n_depths_to_fill=8)
+    ds = XLFMDataset(fish, info["lenslet_file"], img_shape=(96, 96),
+                     images_to_use=[0, 999, 1], n_depths_to_fill=8)
+    assert ds.images_to_use == [0, 1] and len(ds) == 2
+    np.testing.assert_array_equal(ds.vols, ds_ok.vols)
+    np.testing.assert_array_equal(ds.stacked_views, ds_ok.stacked_views)
+
+
+def test_pil_and_native_readers_filter_pages_identically(tmp_path):
+    """pages=[0, 99, 1] must load pages [0, 1] from BOTH readers (the PIL
+    path used to stop at the first invalid index)."""
+    from cwfa_tpu.data import tiff as T
+    from cwfa_tpu.data import native_tiff as NT
+    arr = (np.random.rand(3, 8, 8) * 100).astype(np.float32)
+    p = str(tmp_path / "s.tif")
+    T.write_tiff_stack(p, arr)
+    want = arr[[0, 1]]
+    got_native = NT.read_tiff_stack_native(p, pages=[0, 99, 1])
+    if got_native is not None:
+        np.testing.assert_allclose(got_native, want)
+    # force the PIL path
+    import unittest.mock as mock
+    with mock.patch.object(NT, "read_tiff_stack_native",
+                           lambda *a, **k: None):
+        got_pil = T.read_tiff_stack(p, pages=[0, 99, 1])
+    np.testing.assert_allclose(got_pil, want)
+
+
+def test_center_crop_vol_pads_small_volumes():
+    """A volume smaller than the target must be zero-padded centered, not
+    silently sliced from a negative start (a (D,44,44) corner fragment)."""
+    from cwfa_tpu.data.dataset import _center_crop_vol_spatial
+    v = np.arange(2 * 4 * 6, dtype=np.float32).reshape(2, 4, 6)
+    out = _center_crop_vol_spatial(v, (8, 8))
+    assert out.shape == (2, 8, 8)
+    np.testing.assert_array_equal(out[:, 2:6, 1:7], v)
+    assert out.sum() == v.sum()
+    # crop case unchanged (reference h//2 - th//2 start)
+    out2 = _center_crop_vol_spatial(v, (2, 4))
+    np.testing.assert_array_equal(out2, v[:, 1:3, 1:5])
