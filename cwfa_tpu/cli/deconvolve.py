@@ -134,6 +134,11 @@ def main(argv=None):
         mesh = make_mesh(n_data=1, n_space=int(args.mesh_depth_axis))
         print(f"deconvolving depth-sharded over {args.mesh_depth_axis} "
               "chips", flush=True)
+        if depth_chunk is not None:
+            print("warning: --n_split_fourier is ignored on the sharded "
+                  "path (each shard FFTs its n_depths/N slice at once; "
+                  "the mesh factor itself divides the working set)",
+                  flush=True)
 
     last_vol = None
     for img_ix, frame in frames():

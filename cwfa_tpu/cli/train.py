@@ -31,21 +31,35 @@ from cwfa_tpu.data.dataset import read_lenslet_centers
 
 
 def _count_frames(path: str) -> int:
-    """Usable frames in the dataset: image-stack pages, capped by the
-    per-frame volume TIFF count when a volume dir exists (a dataset whose
-    camera stack outruns its deconvolved volumes would otherwise pass
-    clamp_indices and crash in XLFMDataset's volume lookup).  0 if
-    unreadable."""
+    """Pages in the dataset's image stack (0 if unreadable)."""
     try:
         from cwfa_tpu.data.tiff import count_tiff_pages
-        n = count_tiff_pages(
+        return count_tiff_pages(
             os.path.join(path, "XLFM_image", "XLFM_image_stack.tif"))
-        vols = glob.glob(os.path.join(path, "XLFM_stack", "*.tif"))
-        if vols:
-            n = min(n, len(vols))
-        return n
     except Exception:
         return 0
+
+
+def _filter_by_volumes(path: str, use: list) -> list:
+    """Drop frame indices whose per-frame volume TIFF is missing (a camera
+    stack that outruns its deconvolved volumes crashed in XLFMDataset's
+    lookup).  Existence is checked per INDEX — volumes may be numbered
+    from a non-zero window (e.g. the test split's frames 500+), so a
+    count comparison is meaningless."""
+    vol_dir = os.path.join(path, "XLFM_stack")
+    if not os.path.isdir(vol_dir):
+        return use
+    have = [i for i in use
+            if glob.glob(os.path.join(vol_dir, f"*{i:03d}.tif"))]
+    if not have:
+        raise SystemExit(
+            f"none of the requested frames {use[:5]}... have volumes "
+            f"under {vol_dir} — deconvolve them first "
+            "(python -m cwfa_tpu.cli.deconvolve)")
+    if len(have) != len(use):
+        print(f"warning: {len(use) - len(have)} requested frames have no "
+              f"volume under {vol_dir} — skipped")
+    return have
 from cwfa_tpu.engine.ood import detect_ood
 from cwfa_tpu.engine.trainer import CWFATrainer
 from cwfa_tpu.models.cwfa_model import CWFAModel
@@ -131,6 +145,7 @@ def main(argv=None):
         for name in names:
             n_avail = _count_frames(paths[name])
             use = splits.clamp_indices(images, n_avail) if n_avail else images
+            use = _filter_by_volumes(paths[name], use)
             dss.append(load_xlfm_data(
                 paths[name], cfg.lenslet_file, vol_shape=vol_shape,
                 img_shape=img_shape, images_to_use=use,

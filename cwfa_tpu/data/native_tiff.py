@@ -87,7 +87,7 @@ def read_tiff_stack_native(path: str, pages=None) -> np.ndarray | None:
     try:
         n = lib.tiff_num_pages(h)
         page_list = list(range(n)) if pages is None else [p for p in pages
-                                                          if p < n]
+                                                          if 0 <= p < n]
         dims = (ctypes.c_int64 * 2)()
         dt = ctypes.c_int()
         out = []
@@ -137,7 +137,7 @@ class PrefetchingTiffReader:
             raise IOError(f"cannot open {path}")
         n = lib.tiff_num_pages(self._h)
         self._pages = list(range(n)) if pages is None else [p for p in pages
-                                                            if p < n]
+                                                            if 0 <= p < n]
         if not self._pages:
             lib.tiff_close(self._h)
             raise IOError(f"no pages selected from {path!r} "

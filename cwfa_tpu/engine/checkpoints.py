@@ -85,8 +85,11 @@ def discover_checkpoints(path: str, prefix: str = "model_step_*__ep_*",
         if len(nums) < 2:
             continue
         step, ep = int(nums[0]), int(nums[1])
-        if step < 1:      # flow steps are 1-based (networks.py:721); a
-            continue      # foreign step-0 file must not map to index -1
+        if step < 1 and prefix.startswith("model_step_"):
+            # flow steps are 1-based (networks.py:721); a foreign step-0
+            # file must not map to index -1.  Scoped to the CWFA prefix:
+            # other families (xlfmnet_step_0) discover under their own
+            continue
         if max_epoch is not None and ep > max_epoch:
             continue
         if step not in best or ep > best[step][0]:

@@ -51,11 +51,7 @@ def detect_ood(trainer: CWFATrainer, dataset: ConcatXLFMDataset,
     # batch-1 loop, CWFA.py:789+134, honors no batch size)
     nll_by_ix = {}
     for di, ixs in trainer._batches(dataset):
-        vols = []
-        for ix in ixs:     # volumes only — _sample_inputs would also run
-            dj, li = dataset.locate(ix)   # the jitted view extraction
-            vols.append(np.asarray(dataset.datasets[dj].vols[li][None]))
-        batch = vols[0] if len(vols) == 1 else np.concatenate(vols)
+        batch = trainer._gather_vols(dataset, ixs)
         per_step, _, _, _ = trainer._pyramid(trainer.params, batch,
                                              trainer._next_key())
         per_step = np.asarray(per_step)           # (nf, B)
@@ -81,8 +77,9 @@ def finetune_on_novel(trainer: CWFATrainer, dataset: ConcatXLFMDataset,
     n_steps = cfg.INN_max_down_steps
     losses = {}
     # novel data invalidates the stage-handoff and GT-pyramid caches
+    # (clear_gt_cache also drops the eviction log's tag entries)
     trainer.upsampled_cache = {}
-    trainer.gt_cache["train"] = {}
+    trainer.clear_gt_cache("train")
     trainer.nll_cache["train"] = {}
     eps = max(cfg.epochs // n_steps, 1)
     # coarsest selected step first (the reference's epoch schedule order);

@@ -397,11 +397,7 @@ class CWFATrainer:
                      or cache[ix][0] != self._params_version)]
         if not stale:
             return
-        vols = []
-        for ix in stale:       # volumes only — _sample_inputs would also
-            di, li = dataset.locate(ix)   # run the jitted view extraction
-            vols.append(np.asarray(dataset.datasets[di].vols[li][None]))
-        batch = vols[0] if len(vols) == 1 else np.concatenate(vols)
+        batch = self._gather_vols(dataset, stale)
         nlls, _, _, _ = self._pyramid(self.params, batch, self._next_key())
         nlls = np.asarray(nlls)
         for j, ix in enumerate(stale):
@@ -415,6 +411,17 @@ class CWFATrainer:
             return entry[1]
         self._refresh_nlls(dataset, tag, [ix])
         return self.nll_cache[tag][ix][1]
+
+    @staticmethod
+    def _gather_vols(dataset, ixs: list) -> np.ndarray:
+        """(len(ixs), D, S, S) GT volumes straight from the dataset —
+        volumes only; _sample_inputs would also run the jitted 29-view
+        extraction just to discard it.  Shared with engine/ood.py."""
+        vols = []
+        for ix in ixs:
+            di, li = dataset.locate(ix)
+            vols.append(np.asarray(dataset.datasets[di].vols[li][None]))
+        return vols[0] if len(vols) == 1 else np.concatenate(vols)
 
     def _gt_pyramid(self, tag: str, ix: int, vol):
         if ix not in self.gt_cache[tag]:
@@ -430,6 +437,16 @@ class CWFATrainer:
             self._gt_cache_order.append((tag, ix))
             self._evict_gt_cache()
         return self.gt_cache[tag][ix]
+
+    def clear_gt_cache(self, tag: str):
+        """Drop a tag's GT pyramids AND their insertion-log entries —
+        clearing only the dict would leave stale log entries whose (tag,
+        ix) keys later alias freshly-inserted pyramids, making the
+        byte-bound evict newest-first (use this, never assign
+        ``gt_cache[tag] = {}`` directly)."""
+        self.gt_cache[tag] = {}
+        self._gt_cache_order = [e for e in self._gt_cache_order
+                                if e[0] != tag]
 
     def _evict_gt_cache(self):
         """Keep the GT-pyramid cache under gt_cache_max_bytes (entries are

@@ -137,6 +137,7 @@ def run_xlfmnet(cfg, train_ds, test_ds, stats, view_indices,
               f"{losses[-1]:.5f}")
 
     fwd = jax.jit(lambda p, s, v: xlfmnet(spec, p, s, v, train=False)[0])
+    warmed = False
     results = {}
     for tag, ds in (("train", train_ds), ("test", test_ds)):
         res = {"psnr": [], "MAPE": [], "times": [], "nll": [],
@@ -148,6 +149,11 @@ def run_xlfmnet(cfg, train_ds, test_ds, stats, view_indices,
             tv, tg = ((views_n, vols_n) if ds is train_ds
                       else stack_norm(ds))
             bs = max(int(cfg.batch_size), 1)
+            if not warmed:
+                # compile + first-dispatch outside the clock: res['times']
+                # must be comparable to the CWFA evaluator's warm timings
+                np.asarray(fwd(params, state, jnp.asarray(tv[:bs])))
+                warmed = True
             t0 = time.perf_counter()
             pred = np.concatenate(
                 [np.asarray(fwd(params, state, jnp.asarray(tv[i:i + bs])))
