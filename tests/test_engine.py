@@ -65,7 +65,8 @@ def test_full_fit_and_eval(rig, tmp_path):
     assert trainer.stage_for_epoch(2) == 1
     assert trainer.stage_for_epoch(4) == 0
 
-    # config-2 milestone: LRNN stage training reduces its loss
+    # config-2 milestone: LRNN stage epochs run with finite losses (the
+    # loss-DECREASE contract lives in test_lrnn_loss_decreases)
     l0 = trainer.train_epoch(cat, 0)
     l1 = trainer.train_epoch(cat, 1)
     assert np.isfinite(l0) and np.isfinite(l1)

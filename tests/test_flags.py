@@ -86,8 +86,7 @@ def test_force_all_steps_nf_zero_conditions():
     views, caches = _recon_inputs(model, params)
     vol = model.reconstruct(params, mstate, views, caches)
 
-    # randomizing every cond net leaves the reconstruction bit-identical
-    k = jax.random.PRNGKey(42)
+    # perturbing every cond net leaves the reconstruction bit-identical
     scrambled = {**params, "cond": jax.tree_util.tree_map(
         lambda x: x + 1.0, params["cond"])}
     vol2 = model.reconstruct(scrambled, mstate, views, caches)

@@ -166,8 +166,21 @@ def test_fine_tune_use_model_args_lr_override(tmp_path_factory, tmp_path):
     loaded = tr2.load_checkpoints(out)
     assert loaded
     # the per-step flow optimizer was re-created from the checkpoint lr
-    # (reference CWFA.py:599-600 reads args_nets[step].learning_rate)
+    # (reference CWFA.py:599-600 reads args_nets[step].learning_rate).
+    # Lion's update is -lr*sign(c) (+ wd*params, killed by zero params),
+    # so a fixed gradient exposes the effective lr as |update| exactly.
     assert tr2.tx_flow_steps[0] is not base_tx
+    import jax as _jax
+    import numpy as _np
+    zero_p = _jax.tree_util.tree_map(lambda x: np.zeros_like(x),
+                                     tr2.params["flow"][0])
+    grads = _jax.tree_util.tree_map(lambda x: np.ones_like(x), zero_p)
+    st = tr2.tx_flow_steps[0].init(zero_p)
+    ups, _ = tr2.tx_flow_steps[0].update(grads, st, zero_p)
+    mags = _np.unique(_np.round(_np.abs(_np.concatenate(
+        [_np.asarray(u).ravel() for u in _jax.tree_util.tree_leaves(ups)])),
+        10))
+    assert 5e-4 in mags and len(mags) <= 2, mags   # {0?, ck lr} only
 
     # without the flag, optimizers stay untouched
     tr3 = CWFATrainer(CWFAModel.build(cfg), stats, vidx)

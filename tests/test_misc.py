@@ -17,10 +17,12 @@ def test_xlfmnet_training_reduces_loss():
     # needs H,W divisible by 2^(depth-1)=16
     views = jnp.asarray(rng.rand(2, 4, 32, 32).astype(np.float32))
     vols = jnp.asarray(rng.rand(2, 8, 32, 32).astype(np.float32))
-    params, state, losses = train_xlfmnet(spec, views, vols, n_steps=6,
+    params, state, losses = train_xlfmnet(spec, views, vols, n_steps=30,
                                           learning_rate=1e-3)
     assert np.isfinite(losses).all()
-    assert losses[-1] < losses[0] * 2  # sane trajectory
+    # actual learning, not just a sane trajectory: a no-op optimizer
+    # (detached grads, dropped update) keeps the loss flat and must fail
+    assert min(losses[-4:]) < losses[0]
 
 
 def test_actnorm_data_init_and_roundtrip():

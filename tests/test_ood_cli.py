@@ -48,14 +48,24 @@ def test_ood_detect_and_finetune(rig):
     assert res.threshold == rig["cfg"].step_LL_ths_to_use
 
     # finetune runs all stages and returns finite losses
+    before = np.concatenate([np.asarray(x).ravel() for x in
+                             jax.tree_util.tree_leaves(
+                                 trainer.params["flow"][0])])
     losses = finetune_on_novel(trainer, cat, optimize_steps=(1, 2),
                                epochs_per_step=1)
     assert set(losses) == {1, 2}
     assert all(np.isfinite(v) for ls in losses.values() for v in ls)
 
-    # scores change after finetuning (the model adapted)
+    # the model actually adapted: the optimized steps' PARAMS moved.
+    # (Comparing detect_ood scores would be vacuous — every call draws a
+    # fresh key and the pyramid injects 1e-3 noise, so scores always
+    # differ even with identical weights.)
+    after = np.concatenate([np.asarray(x).ravel() for x in
+                            jax.tree_util.tree_leaves(
+                                trainer.params["flow"][0])])
+    assert not np.allclose(before, after)
     res2 = detect_ood(trainer, cat)
-    assert not np.allclose(res2.scores, res.scores)
+    assert np.isfinite(res2.scores).all()
 
 
 def test_deconvolve_cli(rig, tmp_path):

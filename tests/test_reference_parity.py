@@ -81,7 +81,6 @@ def converted(ref_modules):
         use_final_perm=True, disable_low_res_input=False,
         global_seed=SEED)[0]
     csd = {k: v.detach().numpy() for k, v in cond_net.state_dict().items()}
-    from cwfa_tpu.engine.torch_convert import convert_cond_network
     cond_params = convert_cond_network(csd)
     return {"ref_graph": graph, "ref_cond": cond_net, "spec": spec,
             "params": params, "perms": perms, "cond_params": cond_params}
@@ -213,8 +212,8 @@ def test_multistep_permutation_walk(ref_modules):
             if hasattr(m, "perm") and not isinstance(m, INN_utils.PermuteDim):
                 perms.append(("channel", m.perm.numpy()))
             elif isinstance(m, INN_utils.PermuteDim):
-                perms.append(("spatial", m.dims_to_permute[1] + 1
-                              if False else [2, 3][m.dims_to_permute[1] == 3],
+                perms.append(("spatial",
+                              3 if m.dims_to_permute[1] == 3 else 2,
                               m.perm.numpy()))
         ref_perms_per_step.append(perms)
 

@@ -107,13 +107,26 @@ def test_ragged_per_fish_cc(rig):
     tr = CWFATrainer(rig["model"], rig["stats"], rig["vidx"])
     coords = [[(VIEW // 2, VIEW // 2, N_DEPTHS // 2)],
               [(VIEW // 3, VIEW // 3, N_DEPTHS // 2)]]
-    res = tr.evaluate(rig["cat"], "val", neural_coords=coords)
+    # observe the trainer's ACTUAL per-fish grouping: count frames fed to
+    # each fish's ROI accumulator (an equal-slices 5//2 grouping would
+    # feed 2+2 and drop a frame — this must fail then, not just document
+    # the data layer's locate())
+    from cwfa_tpu.engine.metrics import RoiTraceAccumulator
+    calls: dict = {}
+    orig_add = RoiTraceAccumulator.add
+
+    def counting_add(self, gt, pred):
+        calls[id(self)] = calls.get(id(self), 0) + 1
+        return orig_add(self, gt, pred)
+
+    RoiTraceAccumulator.add = counting_add
+    try:
+        res = tr.evaluate(rig["cat"], "val", neural_coords=coords)
+    finally:
+        RoiTraceAccumulator.add = orig_add
     assert res["CC"] is not None
     assert len(res["volumes_gt"]) == 5
-    # the equal-frames assumption would have grouped 5//2=2 frames per fish
-    # and dropped the 5th frame; the locate()-based grouping uses 3 + 2.
-    di_of = [rig["cat"].locate(i)[0] for i in range(5)]
-    assert di_of == [0, 0, 0, 1, 1]
+    assert sorted(calls.values()) == [2, 3], calls   # 3 + 2 frames per fish
 
 
 def test_evaluate_batched_matches_batch1(rig, tmp_path):
