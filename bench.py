@@ -21,20 +21,21 @@ import time
 import numpy as np
 
 
-def _backend_watchdog(timeout_s: float):
+def _backend_watchdog(timeout_s: float, what: str = "backend init"):
     """Fail fast when the axon TPU tunnel is unreachable.
 
-    First backend init goes through a remote tunnel; when that tunnel is
-    down, ``jax.devices()`` blocks forever inside a C call no signal
-    handler can interrupt — a daemon timer + ``os._exit`` is the only
-    reliable bound.  Returns a cancel() callable to invoke once the
-    backend is live."""
+    First backend init (and every remote compile) goes through a tunnel;
+    when that tunnel is down, the call blocks forever inside a C call no
+    signal handler can interrupt — a daemon timer + ``os._exit`` is the
+    only reliable bound.  Returns a cancel() callable to invoke once the
+    guarded phase completes."""
     import os
     import threading
 
     def _die():
-        print(f"# backend init exceeded {timeout_s:.0f}s — TPU tunnel "
-              "unreachable; aborting bench", file=sys.stderr, flush=True)
+        print(f"# {what} exceeded {timeout_s:.0f}s — TPU tunnel "
+              "unreachable or hung; aborting bench", file=sys.stderr,
+              flush=True)
         os._exit(3)
 
     t = threading.Timer(timeout_s, _die)
@@ -52,6 +53,11 @@ def main():
 
     n_dev = len(jax.devices())      # forces backend init under the watchdog
     cancel()
+    # second, coarser bound for a HALF-up tunnel: init succeeds but a
+    # later remote compile hangs — never cancelled, sized so a healthy
+    # run (~6 min incl. compiles) finishes far inside it
+    _backend_watchdog(float(os.environ.get("BENCH_TOTAL_TIMEOUT", "2400")),
+                      what="bench total runtime")
     print(f"# backend up: {n_dev} device(s), platform "
           f"{jax.devices()[0].platform}", file=sys.stderr)
     import jax.numpy as jnp
