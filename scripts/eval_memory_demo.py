@@ -7,6 +7,10 @@ GT+pred volume pair in host RAM; the streaming evaluator caps retention at
 the frame count.
 
 Usage: python scripts/eval_memory_demo.py [n_frames] | tee docs/results/eval_memory_r3.log
+
+EVALMEM_CPU=1 runs on the local CPU backend — the artifact's claim is
+host-RSS boundedness, which is platform-independent; useful when the
+TPU tunnel is down (timings then reflect CPU, not device, speed).
 """
 import os
 import resource
@@ -17,6 +21,10 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("EVALMEM_CPU"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 
 def rss_gb():
