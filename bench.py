@@ -54,33 +54,24 @@ def main():
     n_dev = len(jax.devices())      # forces backend init under the watchdog
     cancel()
     # second, coarser bound for a HALF-up tunnel: init succeeds but a
-    # later remote compile hangs — never cancelled, sized so a healthy
-    # run (~6 min incl. compiles) finishes far inside it
-    _backend_watchdog(float(os.environ.get("BENCH_TOTAL_TIMEOUT", "2400")),
-                      what="bench total runtime")
+    # later remote compile hangs; cancelled once the JSON line is out
+    # (an importing caller must not be os._exit'd 40 min later), sized so
+    # a healthy run (~6 min incl. compiles) finishes far inside it
+    cancel_total = _backend_watchdog(
+        float(os.environ.get("BENCH_TOTAL_TIMEOUT", "2400")),
+        what="bench total runtime")
     print(f"# backend up: {n_dev} device(s), platform "
           f"{jax.devices()[0].platform}", file=sys.stderr)
     import jax.numpy as jnp
 
-    from cwfa_tpu.config import CWFAConfig
-    from cwfa_tpu.data.stats import DatasetStatistics
-    from cwfa_tpu.data.views import make_view_indices
     from cwfa_tpu.engine.inference import XLFMReconstructor
-    from cwfa_tpu.models.cwfa_model import CWFAModel
 
-    cfg = CWFAConfig().decode_lrs()       # flagship: 512x512x96, CAT x4, 64ch
-    img = 2160
-    model = CWFAModel.build(cfg)
-    params, mstate = model.init(jax.random.PRNGKey(0))
-    stats = DatasetStatistics(100.0, 50.0, 100.0, 50.0, 10.0, 5.0)
-
+    # the flagship rig is defined ONCE, in the driver entry point — the
+    # bench must measure exactly the configuration entry() validates
+    from __graft_entry__ import _flagship
+    cfg, model, params, mstate, stats, vidx, img = _flagship(small=False)
     rng = np.random.RandomState(0)
     side = cfg.volume_side_size
-    g = int(np.ceil(np.sqrt(cfg.n_lenslets)))
-    half = side // 2
-    xs = np.linspace(half, img - half, g).astype(np.int64)
-    coords = np.array([(x, y) for x in xs for y in xs][:cfg.n_lenslets])
-    vidx = make_view_indices(coords, (img, img), (side, side))
 
     nf = model.n_flow_steps
     mean_caches = [jnp.asarray(rng.randn(
@@ -107,10 +98,10 @@ def main():
                 deterministic=True, compute_dtype=compute_dtype,
                 use_int8=True, calib_frames=frames)
             recon.warmup(batch, (img, img))
-            fps_mean, fps_min = recon.throughput(frames, n_repeats=5)
-            print(f"# batch={batch}: {fps_mean:.2f} fps (mean), "
-                  f"{fps_min:.2f} fps (best)", file=sys.stderr)
-            best_fps = max(best_fps, fps_mean)
+            fps = recon.throughput(frames, n_repeats=5)
+            print(f"# batch={batch}: {fps:.2f} fps (amortized over 5 "
+                  "enqueued repeats)", file=sys.stderr)
+            best_fps = max(best_fps, fps)
         except Exception as e:  # OOM at large batch -> try smaller
             print(f"# batch={batch} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -121,21 +112,21 @@ def main():
     # flagship per-sample step times back the "finetune fits the 5-minute
     # budget" claim (ref CWFA.py:683,1030; README.md:22).
     # BENCH_SKIP_TRAIN=1 skips it for time-budgeted runs.
-    if os.environ.get("BENCH_SKIP_TRAIN"):
-        print(json.dumps({
-            "metric": "recon_fps_512x512x96",
-            "value": round(best_fps, 3),
-            "unit": "frames/s/chip",
-            "vs_baseline": round(best_fps / 6.25, 3),
-        }))
-        return
-    try:
-        train_ms = _train_step_times(cfg, model, params, mstate, stats,
-                                     mean_caches)
-        print(f"# train_step_ms: {json.dumps(train_ms)}", file=sys.stderr)
-    except Exception as e:
-        print(f"# train_step_ms failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
+    if best_fps == 0.0:
+        # every batch in the sweep failed — a success-shaped 0-fps JSON
+        # would be recorded as a measurement, not an error
+        print("# all bench batches failed; no measurement", file=sys.stderr)
+        cancel_total()
+        sys.exit(4)
+    if not os.environ.get("BENCH_SKIP_TRAIN"):
+        try:
+            train_ms = _train_step_times(cfg, model, params, mstate, stats,
+                                         mean_caches)
+            print(f"# train_step_ms: {json.dumps(train_ms)}",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# train_step_ms failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     print(json.dumps({
         "metric": "recon_fps_512x512x96",
@@ -143,6 +134,7 @@ def main():
         "unit": "frames/s/chip",
         "vs_baseline": round(best_fps / 6.25, 3),
     }))
+    cancel_total()
 
 
 def _train_step_times(cfg, model, params, mstate, stats, mean_caches,
@@ -197,8 +189,10 @@ def _train_step_times(cfg, model, params, mstate, stats, mean_caches,
             recon, _ = cwf_step_reverse(spec, fk, z, upsampled, cv, c_mean0)
             lc = L.recon_loss(cfg.loss_func_reg, gt0, recon)
             zz, _, logdet = cwf_step_forward(spec, fk, gt0, cv, c_mean0)
+            # logdets SUMMED like the prior (step_nll contract; == mean
+            # only at this microbench's batch 1)
             nll = (0.5 * jnp.sum(zz.astype(jnp.float32) ** 2)
-                   - jnp.mean(logdet)) / float(gt0.size)
+                   - jnp.sum(logdet)) / float(gt0.size)
             return lc * cfg.INN_cond_weight + nll * (1 - cfg.INN_cond_weight)
         l, (gf, gc) = jax.value_and_grad(loss)((fk, ck))
         uf, opt_f = tx_flow.update(gf, opt_f, fk)

@@ -155,4 +155,6 @@ class XLFMReconstructor:
         barrier(out)
         total = time.perf_counter() - t0
         frames = raw_images.shape[0] * n_repeats
-        return frames / total, frames / total
+        # ONE amortized figure: the enqueue-N/fetch-last design cannot
+        # observe per-repeat times, so no min/best statistic exists
+        return frames / total

@@ -339,6 +339,8 @@ def layernorm(params, x, eps: float = 1e-6):
 def dropout(x, rate: float, rng):
     if rng is None or rate == 0.0:
         return x
+    if rate >= 1.0:      # torch: p=1 gives clean zeros / zero grads
+        return jnp.zeros_like(x)
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
@@ -364,6 +366,8 @@ def drop_path(x, rate: float, rng):
     """Stochastic depth on the batch dim (reference networks.py:370-385)."""
     if rng is None or rate == 0.0:
         return x
+    if rate >= 1.0:      # x/0 * 0-mask is NaN in the FORWARD pass here
+        return jnp.zeros_like(x)
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
     return (x / keep * mask).astype(x.dtype)

@@ -53,7 +53,7 @@ def main():
                               calib_frames=frames if use_int8 else None,
                               pair_input_towers=pair)
     recon.warmup(batch, (img, img))
-    fps, _ = recon.throughput(frames, n_repeats=5)
+    fps = recon.throughput(frames, n_repeats=5)
     print(f"batch={batch} int8={use_int8} pair={pair} pallas={use_pallas}: "
           f"{1e3/fps:.2f} ms/frame  fps = {fps:.2f}", flush=True)
 

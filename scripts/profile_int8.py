@@ -78,7 +78,7 @@ def main():
                                compute_dtype=dt, use_int8=True,
                                calib_frames=frames)
     recon8.warmup(batch, (img, img))
-    fps8, _ = recon8.throughput(frames, n_repeats=5)
+    fps8 = recon8.throughput(frames, n_repeats=5)
     print(f"FULL int8: {1e3/fps8:.2f} ms/frame   fps_int8 = {fps8:.2f}",
           flush=True)
 

@@ -113,7 +113,7 @@ def main():
     recon = XLFMReconstructor(model, params, mstate, stats, vidx, mean_caches,
                               deterministic=True, compute_dtype=dt)
     recon.warmup(batch, (img, img))
-    fps, _ = recon.throughput(frames, n_repeats=5)
+    fps = recon.throughput(frames, n_repeats=5)
     res["FULL (ms/frame)"] = 1.0 / fps
 
     if len(sys.argv) > 2 and sys.argv[2] == "noint8":
@@ -140,7 +140,7 @@ def main():
                                compute_dtype=dt, use_int8=True,
                                calib_frames=frames)
     recon8.warmup(batch, (img, img))
-    fps8, _ = recon8.throughput(frames, n_repeats=5)
+    fps8 = recon8.throughput(frames, n_repeats=5)
     res["FULL int8 (ms/frame)"] = 1.0 / fps8
 
     print(f"batch={batch}")

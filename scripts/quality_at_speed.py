@@ -158,7 +158,7 @@ def flagship_agreement():
     agree = psnr(vol_fast, vol_ref)
     print(f"[1] FLAGSHIP converted-reference pipeline agreement "
           f"(shipped fast path vs bf16 path): {agree:.2f} dB", flush=True)
-    fps, _ = fast.throughput(frames, n_repeats=5)
+    fps = fast.throughput(frames, n_repeats=5)
     print(f"[1] shipped-path throughput at batch {batch}: {fps:.2f} fps",
           flush=True)
     return agree
