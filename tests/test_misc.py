@@ -195,3 +195,27 @@ def test_sample_z_helpers_contracts():
     assert sample_z_rev_like(k, (3, 4), 0.5).shape == (3, 4)
     s = sample_z_rev_like(k, x, 0.25, same_size=True)
     assert 0 < float(jnp.std(s)) < 0.5     # gaussian scaled by temperature
+
+
+def test_dropout_family_p1_clean_zeros_and_grads():
+    """p>=1 must give torch's clean zeros with ZERO gradients for every
+    dropout variant — the x/keep forms divided by zero (dropout2d/dropout
+    NaN'd the backward pass, drop_path NaN'd the FORWARD)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cwfa_tpu import nn as cnn
+
+    k = jax.random.PRNGKey(0)
+    x = jnp.ones((2, 3, 4, 4))
+    for fn in (cnn.dropout, cnn.dropout2d, cnn.drop_path):
+        y = fn(x, 1.0, k)
+        assert not np.asarray(y).any(), fn.__name__
+        g = jax.grad(lambda v: jnp.sum(fn(v, 1.0, k)))(x)
+        assert np.isfinite(np.asarray(g)).all(), fn.__name__
+        assert not np.asarray(g).any(), fn.__name__
+        # p=0 / no-rng fast paths stay identity
+        np.testing.assert_array_equal(np.asarray(fn(x, 0.0, k)),
+                                      np.asarray(x))
+        np.testing.assert_array_equal(np.asarray(fn(x, 1.0, None)),
+                                      np.asarray(x))
