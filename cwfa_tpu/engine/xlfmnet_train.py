@@ -65,6 +65,55 @@ def train_xlfmnet(spec: XLFMNetSpec, views, gt_volumes, n_steps: int = 100,
     return params, state, losses
 
 
+def build_xlfmnet_spec(cfg) -> XLFMNetSpec:
+    """The CLI baseline's spec from a CWFAConfig — shared by run_xlfmnet
+    and load_xlfmnet so a restored checkpoint rebuilds the exact
+    architecture its stored config trained.
+
+    UNet depth capped so tiny volumes keep >= 2px at the bottleneck (the
+    flagship 512-side keeps the reference depth of 5).  drop_out=0, NOT
+    the reference's 1.0: XLFMNet passes drop_out=1.0 into F.dropout2d
+    whose functional default is training=True (networks.py:762,
+    unet.py:80) — every channel dropped, always; the model is
+    broken-by-construction there, which fits run_CWFA never building it.
+    A trainable baseline needs the dropout off."""
+    import numpy as np
+
+    from cwfa_tpu.models.unet import UNetSpec
+
+    depth = max(1, min(5, int(np.log2(max(cfg.volume_side_size, 4))) - 2))
+    return XLFMNetSpec(
+        in_views=cfg.n_lenslets, out_depths=cfg.n_depths,
+        unet=UNetSpec(in_channels=cfg.n_depths, n_classes=cfg.n_depths,
+                      depth=depth, wf=6, batch_norm=True,
+                      skip_conn=False, drop_out=0.0, activation="elu"))
+
+
+def load_xlfmnet(path: str):
+    """Load the newest ``xlfmnet_step_*`` checkpoint from a run dir.
+
+    Returns (spec, params, state, cfg, stats) — enough to run inference
+    (``xlfmnet(spec, params, state, views, train=False)``) or resume.
+    Counterpart of run_xlfmnet's save; the CWFA loaders never see these
+    files (own prefix, see save site)."""
+    from cwfa_tpu.engine.checkpoints import (discover_checkpoints,
+                                             load_step_checkpoint,
+                                             restore_like)
+
+    found = discover_checkpoints(path, prefix="xlfmnet_step_*__ep_*")
+    if not found:
+        raise FileNotFoundError(f"no xlfmnet_step_* checkpoint in {path!r}")
+    _, fname = found[min(found)]
+    payload, cfg, stats = load_step_checkpoint(fname)
+    spec = build_xlfmnet_spec(cfg)
+    params, state = init_xlfmnet(jax.random.PRNGKey(0), spec)
+    params = restore_like(params, payload["condition_state_dict"])
+    ms = payload.get("model_state_dict")
+    if ms:
+        state = restore_like(state, ms)
+    return spec, params, state, cfg, stats
+
+
 def run_xlfmnet(cfg, train_ds, test_ds, stats, view_indices,
                 output_path: str | None = None, verbose: bool = True):
     """CLI-shaped XLFMNet baseline run for ``--INN_net_type 2``.
@@ -89,20 +138,7 @@ def run_xlfmnet(cfg, train_ds, test_ds, stats, view_indices,
     from cwfa_tpu.engine.checkpoints import save_step_checkpoint
     from cwfa_tpu.engine.metrics import compute_step_performance
 
-    # UNet depth capped so tiny volumes keep >= 2px at the bottleneck
-    # (the flagship 512-side keeps the reference depth of 5)
-    depth = max(1, min(5, int(np.log2(max(cfg.volume_side_size, 4))) - 2))
-    from cwfa_tpu.models.unet import UNetSpec
-    # drop_out=0 (NOT the reference's 1.0): XLFMNet passes drop_out=1.0
-    # into F.dropout2d whose torch default is training=True
-    # (networks.py:762, unet.py:80) — every channel dropped, always; the
-    # model is broken-by-construction there, which fits run_CWFA never
-    # building it.  A trainable baseline needs the dropout off.
-    spec = XLFMNetSpec(
-        in_views=cfg.n_lenslets, out_depths=cfg.n_depths,
-        unet=UNetSpec(in_channels=cfg.n_depths, n_classes=cfg.n_depths,
-                      depth=depth, wf=6, batch_norm=True,
-                      skip_conn=False, drop_out=0.0, activation="elu"))
+    spec = build_xlfmnet_spec(cfg)
 
     view_norm = jax.jit(lambda raw: (extract_views(raw, view_indices)
                                      - stats.mean_imgs) / stats.std_imgs)

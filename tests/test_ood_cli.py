@@ -160,7 +160,25 @@ def test_train_cli_xlfmnet_baseline(rig, tmp_path):
     # the CWFA checkpoint discovery must NOT pick it up (a step-0 file
     # would restore into cond[-1] via negative indexing)
     from cwfa_tpu.engine.checkpoints import discover_checkpoints
-    assert discover_checkpoints(os.path.dirname(cks[0])) == {}
+    run_dir = os.path.dirname(cks[0])
+    assert discover_checkpoints(run_dir) == {}
+    # load roundtrip: spec rebuilt from the stored config, trained params
+    # + BN running stats restored, eval-mode forward runs
+    from cwfa_tpu.engine.xlfmnet_train import load_xlfmnet
+    from cwfa_tpu.models.xlfmnet import init_xlfmnet, xlfmnet
+    spec, params, state, cfg_ck, stats_ck = load_xlfmnet(run_dir)
+    assert spec.in_views == NLENS and spec.out_depths == N_DEPTHS
+    _, state0 = init_xlfmnet(jax.random.PRNGKey(0), spec)
+    a = np.concatenate([np.asarray(x).ravel() for x in
+                        jax.tree_util.tree_leaves(state)])
+    b = np.concatenate([np.asarray(x).ravel() for x in
+                        jax.tree_util.tree_leaves(state0)])
+    assert not np.allclose(a, b), "BN running stats were not restored"
+    out = xlfmnet(spec, params, state,
+                  np.zeros((1, NLENS, VIEW, VIEW), np.float32),
+                  train=False)[0]
+    assert out.shape == (1, N_DEPTHS, VIEW, VIEW)
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_deconvolve_cli_depth_sharded_matches(rig, tmp_path):
