@@ -133,3 +133,40 @@ def test_sequence_inn():
     x2, jr = seq(y, rev=True)
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
     np.testing.assert_allclose(np.asarray(jf), -np.asarray(jr), atol=1e-4)
+
+
+def test_deprecated_shims():
+    import warnings
+    import pytest
+    from cwfa_tpu.flow import deprecated as fd
+
+    rng = np.random.RandomState(7)
+    m = rng.randn(4, 4).astype(np.float32) + 3 * np.eye(4, dtype=np.float32)
+    p = fx.init_fixed_linear(m)
+    x = jnp.asarray(rng.randn(2, 4).astype(np.float32))
+
+    with pytest.warns(DeprecationWarning):
+        seq = fd.ReversibleSequential((fx.fixed_linear, p))
+    y_ref, j_ref = fx.SequenceINN((fx.fixed_linear, p))(x)
+    y, j = seq(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref))
+    np.testing.assert_allclose(np.asarray(j), np.asarray(j_ref))
+
+    with pytest.warns(DeprecationWarning):
+        net = fd.ReversibleGraphNet([(fx.fixed_linear, p)])
+    with pytest.warns(DeprecationWarning):
+        y2, j2 = net(x)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y_ref))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        x2, jr = net(x=y2, rev=True)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j2), -np.asarray(jr), atol=1e-4)
+    # the removed graph-surgery arguments raise exactly as in the reference
+    # (reversible_graph_net.py:15-24)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        with pytest.raises(ValueError):
+            fd.ReversibleGraphNet([], ind_in=[0])
+        with pytest.raises(ValueError):
+            fd.ReversibleGraphNet([], ind_out=[0])
