@@ -64,7 +64,6 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
     if full_hw is None:
         full_hw = (otf.shape[2], (otf.shape[3] - 1) * 2)
     full_hw = tuple(full_hw)
-    otf_t = jnp.conj(otf)
 
     img_exp = _pad_center(img.astype(jnp.float32), full_hw)
     obj = jnp.ones((img.shape[0], n_depths) + tuple(obj_hw), jnp.float32)
@@ -72,30 +71,41 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
     pad_h = (full_hw[0] - obj_hw[0]) // 2
     pad_w = (full_hw[1] - obj_hw[1]) // 2
 
-    def project(vol_pad, kernel_fft):
-        if depth_chunk is None or depth_chunk >= n_depths:
-            est = jnp.fft.irfft2(jnp.fft.rfft2(vol_pad) * kernel_fft, s=full_hw)
-            return fftshift2d_real(est)
-        outs = []
-        for j in range(0, n_depths, depth_chunk):
-            sl = slice(j, min(j + depth_chunk, n_depths))
-            est = jnp.fft.irfft2(
-                jnp.fft.rfft2(vol_pad[:, sl]) * kernel_fft[:, sl], s=full_hw)
-            outs.append(fftshift2d_real(est))
-        return jnp.concatenate(outs, axis=1)
+    chunk = (n_depths if depth_chunk is None
+             else min(depth_chunk, n_depths))
+    spans = [slice(j, min(j + chunk, n_depths))
+             for j in range(0, n_depths, chunk)]
 
     def body(_, state):
         obj, _prev_est = state
-        obj_pad = _pad_center(obj, full_hw)
-        img_est = jax.nn.relu(project(obj_pad, otf)).sum(1, keepdims=True)
+        # forward projection, depth-chunked: pad each depth slab to the FFT
+        # canvas only while its FFTs are live (padding all of obj first is
+        # ~full_hw/obj_hw^2 x the bytes — 3.7 GB vs 173 MB at the reference
+        # CLI scale of 2760^2 x 120)
+        img_est = None
+        for sl in spans:
+            est = jnp.fft.irfft2(
+                jnp.fft.rfft2(_pad_center(obj[:, sl], full_hw)) * otf[:, sl],
+                s=full_hw)
+            part = jax.nn.relu(fftshift2d_real(est)).sum(1, keepdims=True)
+            img_est = part if img_est is None else img_est + part
         ratio = img_exp / (img_est + 1e-8)
         limit = _median_nonzero(ratio) * update_median_limit_multiplier
         ratio = jnp.clip(ratio, 0.0, limit)
-        corr = fftshift2d_real(
-            jnp.fft.irfft2(jnp.fft.rfft2(ratio) * otf_t, s=full_hw))
-        new_obj_pad = obj_pad * corr
-        new_obj = new_obj_pad[:, :, pad_h:pad_h + obj_hw[0],
-                              pad_w:pad_w + obj_hw[1]]
+        # back-projection: the multiplicative update only reads the
+        # correction inside the object window, so crop each slab BEFORE the
+        # multiply — obj_pad * corr cropped == obj * crop(corr) exactly —
+        # and never materialize the full-canvas (B, D, F0, F1) correction
+        ratio_fft = jnp.fft.rfft2(ratio)
+        parts = []
+        for sl in spans:
+            # conj per slab fuses into the spectral multiply (a whole-OTF
+            # jnp.conj would materialize a second 4 GB copy at CLI scale)
+            corr = fftshift2d_real(
+                jnp.fft.irfft2(ratio_fft * jnp.conj(otf[:, sl]), s=full_hw))
+            parts.append(obj[:, sl] * corr[:, :, pad_h:pad_h + obj_hw[0],
+                                           pad_w:pad_w + obj_hw[1]])
+        new_obj = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 1)
         # NaN-freeze instead of the reference's host-side loop break
         bad = jnp.any(jnp.isnan(ratio))
         new_obj = jnp.where(bad, obj, new_obj)
@@ -156,18 +166,18 @@ def xlfm_deconvolve_sharded(mesh, otf, img, n_iter: int, obj_hw=(512, 512),
 
         def body(_, state):
             obj, _prev = state
-            obj_pad = _pad_center(obj, full_hw)
             est_local = jax.nn.relu(fftshift2d_real(jnp.fft.irfft2(
-                jnp.fft.rfft2(obj_pad) * otf_l, s=full_hw))).sum(
-                    1, keepdims=True)
+                jnp.fft.rfft2(_pad_center(obj, full_hw)) * otf_l,
+                s=full_hw))).sum(1, keepdims=True)
             img_est = jax.lax.psum(est_local, axis)
             ratio = img_exp / (img_est + 1e-8)
             limit = _median_nonzero(ratio) * mult
             ratio = jnp.clip(ratio, 0.0, limit)
+            # crop-before-multiply: see xlfm_deconvolve's body
             corr = fftshift2d_real(jnp.fft.irfft2(
                 jnp.fft.rfft2(ratio) * otf_t, s=full_hw))
-            new_obj = (obj_pad * corr)[:, :, pad_h:pad_h + obj_hw[0],
-                                       pad_w:pad_w + obj_hw[1]]
+            new_obj = obj * corr[:, :, pad_h:pad_h + obj_hw[0],
+                                 pad_w:pad_w + obj_hw[1]]
             bad = jnp.any(jnp.isnan(ratio))
             return jnp.where(bad, obj, new_obj), img_est
 

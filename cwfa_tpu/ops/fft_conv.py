@@ -52,17 +52,52 @@ def fft_conv(a: jax.Array, b_fft: jax.Array, full_hw) -> jax.Array:
     return fftshift2d_real(out)
 
 
-def precompute_otf(psf: jax.Array, obj_hw) -> tuple[jax.Array, tuple]:
+def _next_smooth_even(n: int) -> int:
+    """Smallest even integer >= n whose prime factors are all in {2, 3, 5}.
+
+    XLA's TPU FFT at sizes with a large prime factor falls off the
+    mixed-radix fast path (the reference CLI's canvas 600 + 2160 = 2760 =
+    2^3*3*5*23 exhausts HBM in the chirp-transform workspace at reference
+    scale).  Padding the linear-convolution canvas further is exact — the
+    support only needs obj+psf-1 and every offset below derives from
+    full_hw — so round up to a 5-smooth even size (2760 -> 2880: +9%
+    nominal FFT work for an asymptotically fast lowering)."""
+    m = n + (n % 2)
+    while True:
+        k = m
+        for p in (2, 3, 5):
+            while k % p == 0:
+                k //= p
+        if k == 1:
+            return m
+        m += 2
+
+
+def precompute_otf(psf: jax.Array, obj_hw, *, smooth: bool = True,
+                   depth_chunk: int = 24) -> tuple[jax.Array, tuple]:
     """OTF = rfft2 of the PSF zero-padded to fullSize = obj + psf
     (reference load_PSF_OTF via fft_conv's B branch, utils.py:503-510,617).
 
     psf: (1, D, P, P) with per-depth sum normalized.
+    smooth: round the canvas up to a 5-smooth even size (TPU FFT fast
+    path; exact — see _next_smooth_even).  smooth=False replays the
+    reference's exact obj+psf canvas (odd-width parity tests).
+    depth_chunk: PSF depths transformed per FFT call — bounds the rfft2
+    workspace (~8 GB for 120 planes of 2880^2 in one call).
     Returns (OTF complex64 (1, D, F0, F1//2+1), full_hw).
     """
     p_hw = psf.shape[-2:]
     full_hw = (obj_hw[0] + p_hw[0], obj_hw[1] + p_hw[1])
-    psf_pad = _pad_center(psf.astype(jnp.float32), full_hw)
-    return jnp.fft.rfft2(psf_pad), full_hw
+    if smooth:
+        full_hw = (_next_smooth_even(full_hw[0]),
+                   _next_smooth_even(full_hw[1]))
+    d = psf.shape[1]
+    outs = []
+    for j in range(0, d, depth_chunk):
+        slab = psf[:, j:j + depth_chunk].astype(jnp.float32)
+        outs.append(jnp.fft.rfft2(_pad_center(slab, full_hw)))
+    return (outs[0] if len(outs) == 1
+            else jnp.concatenate(outs, axis=1)), full_hw
 
 
 def _project_chunk(vol_chunk, otf_chunk, full_hw):

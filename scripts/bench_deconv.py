@@ -1,0 +1,90 @@
+"""Reference-scale Richardson-Lucy deconvolution benchmark (TPU).
+
+The reference's headline comparison point is classical RL deconvolution at
+~1 min/frame on GPU (reference README.md:20, "100 iterations" README.md:26);
+its CLI default is --n_it 50 (main_deconvolve_dataset.py:27).  This script
+times cwfa_tpu.ops.deconv.xlfm_deconvolve on one v5e chip at the reference
+CLI's exact shapes: camera/PSF 2160^2, volume 600x600x120 -> FFT canvas
+2760^2 x 120 depths (load_psf_otf pads to vol+psf, data/psf.py).
+
+Usage: python scripts/bench_deconv.py [n_it ...] [--chunk N] [--repeats N]
+
+Timing uses the enqueue-N/fetch-tiny-slice barrier (engine/inference.py
+throughput discipline): block_until_ready is unreliable through the axon
+tunnel.
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cwfa_tpu.ops.fft_conv import precompute_otf
+from cwfa_tpu.ops.deconv import xlfm_deconvolve
+
+
+def main(argv):
+    n_its = [int(a) for a in argv if not a.startswith("--")] or [50, 100]
+    chunk = 30
+    repeats = 3
+    for a in argv:
+        if a.startswith("--chunk"):
+            chunk = int(a.split("=")[1])
+        if a.startswith("--repeats"):
+            repeats = int(a.split("=")[1])
+
+    n_depths, psf_px, vol_px, img_px = 120, 2160, 600, 2160
+
+    dev = jax.devices()[0]
+    print(f"device={dev.platform}:{dev.device_kind} chunk={chunk} "
+          f"shapes: psf (1,{n_depths},{psf_px},{psf_px}) img "
+          f"(1,1,{img_px},{img_px}) vol ({vol_px},{vol_px},{n_depths})",
+          flush=True)
+
+    # synthetic PSF/image generated ON DEVICE (a host 2.2 GB PSF upload
+    # through the axon tunnel is minutes): RL runs a fixed iteration
+    # count, so timing is shape-dependent only.  Per-depth sum-normalized
+    # like load_psf.
+    t0 = time.perf_counter()
+
+    @jax.jit
+    def make_psf():
+        p = jax.random.uniform(jax.random.PRNGKey(0),
+                               (1, n_depths, psf_px, psf_px), jnp.float32)
+        return p / p.sum(axis=(-2, -1), keepdims=True)
+
+    psf = make_psf()
+    otf, full_hw = precompute_otf(psf, (vol_px, vol_px))
+    _ = np.asarray(otf[0, 0, :2, 0])          # barrier
+    print(f"OTF precompute: full_hw={full_hw} "
+          f"{otf.nbytes / 1e9:.2f} GB  {time.perf_counter() - t0:.1f} s",
+          flush=True)
+    del psf
+    img_d = jax.device_put(
+        np.random.RandomState(0).rand(1, 1, img_px, img_px)
+        .astype(np.float32) * 100.0)
+
+    for n_it in n_its:
+        run = lambda: xlfm_deconvolve(
+            otf, img_d, n_it, obj_hw=(vol_px, vol_px),
+            roi_depths=n_depths, depth_chunk=chunk, full_hw=full_hw)
+        t0 = time.perf_counter()
+        vol, _ = run()
+        _ = np.asarray(vol[0, 0, 0, :4])      # compile + run barrier
+        t_first = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            vol, _ = run()
+        _ = np.asarray(vol[0, 0, 0, :4])
+        dt = (time.perf_counter() - t0) / repeats
+        print(f"n_it={n_it:4d}: {dt:7.2f} s/frame "
+              f"({dt / n_it * 1e3:6.1f} ms/iter, first+compile "
+              f"{t_first:.1f} s)  vs reference GPU ~60 s at 100 it",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -93,7 +93,9 @@ def test_deconv_odd_full_width_needs_full_hw():
         psf[0, k] = np.exp(-(((yy - p / 2) ** 2 + (xx - p / 2) ** 2)
                              / (2 * sig ** 2)))
         psf[0, k] /= psf[0, k].sum()
-    otf, full_hw = precompute_otf(jnp.asarray(psf), (s, s))
+    # smooth=False replays the reference's exact obj+psf canvas so the
+    # odd-width ambiguity is reachable (the smooth default rounds to even)
+    otf, full_hw = precompute_otf(jnp.asarray(psf), (s, s), smooth=False)
     assert full_hw[1] % 2 == 1               # the ambiguous case
 
     vol = np.zeros((1, d, s, s), np.float32)

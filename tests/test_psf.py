@@ -84,5 +84,6 @@ def test_load_psf_otf_h5(psf_np, tmp_path):
     with h5py.File(p, "w") as f:
         f["PSF"] = psf_np
     otf, psf_hw, full_hw = load_psf_otf(p, (32, 32, 10))
-    assert otf.shape == (1, 10, 56, 29)
-    assert full_hw == (56, 56)
+    # 32+24 = 56 = 2^3*7 rounds up to the 5-smooth 60 (TPU FFT fast path)
+    assert otf.shape == (1, 10, 60, 31)
+    assert full_hw == (60, 60)
