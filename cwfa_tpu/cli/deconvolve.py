@@ -82,6 +82,16 @@ def main(argv=None):
 
     depth_chunk = (None if args.n_split_fourier == 1
                    else max(args.n_depths // args.n_split_fourier, 1))
+    from cwfa_tpu.ops.fft_conv import backend_has_fft
+    if depth_chunk is None and not backend_has_fft():
+        # the matmul-DFT fallback keeps ~2x more canvas temporaries live
+        # than a native FFT; unchunked it exceeds HBM at the reference
+        # CLI scale (measured 16.5 GB > 15.75 at 2880^2 x 120; 15-depth
+        # slabs fit).  Explicit --n_split_fourier overrides.
+        depth_chunk = 15
+        print("FFT-fallback backend: depth-chunking the RL FFTs at "
+              f"{depth_chunk} planes (override with --n_split_fourier)",
+              flush=True)
 
     def frames():
         """Stream frames; the native prefetcher decodes frame n+1 on a

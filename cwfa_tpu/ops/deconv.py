@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cwfa_tpu.ops.fft_conv import fftshift2d_real, _pad_center
+from cwfa_tpu.ops.fft_conv import (SpecPair, fftshift2d_real, _pad_center,
+                                   rfft2, irfft2, spec_mul, spec_conj)
 
 
 def _median_nonzero(x: jax.Array) -> jax.Array:
@@ -48,11 +49,19 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
                     obj_hw=(512, 512), roi_depths: int = 90,
                     depth_chunk: int | None = None,
                     update_median_limit_multiplier: float = 10.0,
-                    full_hw=None):
+                    full_hw=None, init_obj=None):
     """RL-deconvolve an XLFM camera image into a depth volume.
 
     otf: (1, D, F0, F1r) complex rFFT of the padded PSF (precompute_otf).
     img: (B, 1, I, I) raw camera image (background already removed).
+    init_obj: resume from a previous call's volume instead of the ones
+    init — RL's loop state is the object alone, so chaining
+    n1-then-n2-iteration calls is numerics-identical to n1+n2 in one
+    call PROVIDED roi_depths == D on the intermediate calls (the ROI
+    zeroing runs per call, and a zeroed depth stays zero under the
+    multiplicative update).  Restartability; also the only way to run
+    long iteration counts through the axon tunnel, which kills device
+    programs after ~1 min.
     full_hw: the padded canvas (H, W) precompute_otf transformed on.  The
     rFFT bin count is ambiguous about width parity ((W-1)//2+1 == W'//2+1
     for W odd = W'+1 even), so when the true width is odd the even-width
@@ -66,46 +75,80 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
     full_hw = tuple(full_hw)
 
     img_exp = _pad_center(img.astype(jnp.float32), full_hw)
-    obj = jnp.ones((img.shape[0], n_depths) + tuple(obj_hw), jnp.float32)
+    if init_obj is None:
+        obj = jnp.ones((img.shape[0], n_depths) + tuple(obj_hw),
+                       jnp.float32)
+    else:
+        assert init_obj.shape == (img.shape[0], n_depths) + tuple(obj_hw)
+        obj = init_obj.astype(jnp.float32)
 
     pad_h = (full_hw[0] - obj_hw[0]) // 2
     pad_w = (full_hw[1] - obj_hw[1]) // 2
 
     chunk = (n_depths if depth_chunk is None
              else min(depth_chunk, n_depths))
-    spans = [slice(j, min(j + chunk, n_depths))
-             for j in range(0, n_depths, chunk)]
+    while n_depths % chunk:            # largest divisor <= requested
+        chunk -= 1
+    n_chunks = n_depths // chunk
+    b_sz = img.shape[0]
+
+    # depth-chunked slabs as a lax.scan: an unrolled Python loop lets the
+    # XLA scheduler run slabs CONCURRENTLY, keeping every slab's canvas
+    # temporaries live at once (measured 19.3 GB > HBM at the reference
+    # CLI scale with 8 slabs) — scan is truly sequential, so one slab's
+    # working set is live at a time.  Each slab pads to the FFT canvas
+    # only while its FFTs run (padding all of obj first is
+    # ~(full/obj)^2 x the bytes: 3.7 GB vs 173 MB at 2880^2 x 120).
+    otf_scan = jax.tree.map(
+        lambda o: jnp.swapaxes(
+            o.reshape(1, n_chunks, chunk, *o.shape[-2:]), 0, 1), otf)
+
+    def _chunked(obj):
+        return jnp.swapaxes(
+            obj.reshape(b_sz, n_chunks, chunk, *obj_hw), 0, 1)
 
     def body(_, state):
         obj, _prev_est = state
-        # forward projection, depth-chunked: pad each depth slab to the FFT
-        # canvas only while its FFTs are live (padding all of obj first is
-        # ~full_hw/obj_hw^2 x the bytes — 3.7 GB vs 173 MB at the reference
-        # CLI scale of 2760^2 x 120)
-        img_est = None
-        for sl in spans:
-            est = jnp.fft.irfft2(
-                jnp.fft.rfft2(_pad_center(obj[:, sl], full_hw)) * otf[:, sl],
-                s=full_hw)
-            part = jax.nn.relu(fftshift2d_real(est)).sum(1, keepdims=True)
-            img_est = part if img_est is None else img_est + part
+
+        def fwd(acc, xs):
+            ob, ot = xs
+            est = irfft2(spec_mul(rfft2(_pad_center(ob, full_hw)), ot),
+                         s=full_hw)
+            return acc + jax.nn.relu(fftshift2d_real(est)).sum(
+                1, keepdims=True), None
+
+        img_est, _ = jax.lax.scan(
+            fwd, jnp.zeros_like(img_exp), (_chunked(obj), otf_scan))
         ratio = img_exp / (img_est + 1e-8)
         limit = _median_nonzero(ratio) * update_median_limit_multiplier
         ratio = jnp.clip(ratio, 0.0, limit)
         # back-projection: the multiplicative update only reads the
-        # correction inside the object window, so crop each slab BEFORE the
-        # multiply — obj_pad * corr cropped == obj * crop(corr) exactly —
-        # and never materialize the full-canvas (B, D, F0, F1) correction
-        ratio_fft = jnp.fft.rfft2(ratio)
-        parts = []
-        for sl in spans:
-            # conj per slab fuses into the spectral multiply (a whole-OTF
-            # jnp.conj would materialize a second 4 GB copy at CLI scale)
-            corr = fftshift2d_real(
-                jnp.fft.irfft2(ratio_fft * jnp.conj(otf[:, sl]), s=full_hw))
-            parts.append(obj[:, sl] * corr[:, :, pad_h:pad_h + obj_hw[0],
-                                           pad_w:pad_w + obj_hw[1]])
-        new_obj = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 1)
+        # correction inside the object window, so crop each slab BEFORE
+        # the multiply — obj_pad * corr cropped == obj * crop(corr)
+        # exactly — and never materialize the full-canvas correction;
+        # the per-slab conj fuses into the spectral multiply
+        ratio_fft = rfft2(ratio)
+
+        def bwd(_, xs):
+            ob, ot = xs
+            prod = spec_mul(ratio_fft, spec_conj(ot))
+            if isinstance(prod, SpecPair):
+                # matmul-DFT path: evaluate ONLY the object window of the
+                # inverse (exact; the shift+crop folds into the DFT
+                # evaluation points — ~3x fewer MACs and ~(canvas/obj)^2
+                # less write traffic on the dominant RL segment)
+                from cwfa_tpu.ops.gemm_fft import irfft2_window_gemm_pair
+                corr = irfft2_window_gemm_pair(
+                    prod.re, prod.im, full_hw,
+                    (pad_h, obj_hw[0]), (pad_w, obj_hw[1]))
+                return None, ob * corr
+            corr = fftshift2d_real(irfft2(prod, s=full_hw))
+            return None, ob * corr[:, :, pad_h:pad_h + obj_hw[0],
+                                   pad_w:pad_w + obj_hw[1]]
+
+        _, new_c = jax.lax.scan(bwd, None, (_chunked(obj), otf_scan))
+        new_obj = jnp.swapaxes(new_c, 0, 1).reshape(
+            b_sz, n_depths, *obj_hw)
         # NaN-freeze instead of the reference's host-side loop break
         bad = jnp.any(jnp.isnan(ratio))
         new_obj = jnp.where(bad, obj, new_obj)
@@ -141,15 +184,17 @@ def xlfm_deconvolve_sharded(mesh, otf, img, n_iter: int, obj_hw=(512, 512),
     from jax import shard_map
 
     axis = "space" if "space" in mesh.axis_names else mesh.axis_names[-1]
+    otf_leaves = jax.tree.leaves(otf)
     cache_key = (mesh, int(n_iter), tuple(obj_hw), int(roi_depths),
                  float(update_median_limit_multiplier),
                  None if full_hw is None else tuple(full_hw),
-                 otf.shape, otf.dtype.name)
+                 type(otf).__name__, otf_leaves[0].shape,
+                 otf_leaves[0].dtype.name)
     cached = _SHARDED_JIT_CACHE.get(cache_key)
     if cached is not None:
         return cached(otf, img)
     n_shards = mesh.shape[axis]
-    n_depths = otf.shape[1]
+    n_depths = jax.tree.leaves(otf)[0].shape[1]
     assert n_depths % n_shards == 0, (n_depths, n_shards)
     d_local = n_depths // n_shards
     if full_hw is None:     # see xlfm_deconvolve: wrong for odd true width
@@ -160,24 +205,31 @@ def xlfm_deconvolve_sharded(mesh, otf, img, n_iter: int, obj_hw=(512, 512),
     mult = update_median_limit_multiplier
 
     def local_run(otf_l, img_g):
-        otf_t = jnp.conj(otf_l)
+        otf_t = spec_conj(otf_l)
         img_exp = _pad_center(img_g.astype(jnp.float32), full_hw)
         obj = jnp.ones((img_g.shape[0], d_local) + tuple(obj_hw), jnp.float32)
 
         def body(_, state):
             obj, _prev = state
-            est_local = jax.nn.relu(fftshift2d_real(jnp.fft.irfft2(
-                jnp.fft.rfft2(_pad_center(obj, full_hw)) * otf_l,
+            est_local = jax.nn.relu(fftshift2d_real(irfft2(
+                spec_mul(rfft2(_pad_center(obj, full_hw)), otf_l),
                 s=full_hw))).sum(1, keepdims=True)
             img_est = jax.lax.psum(est_local, axis)
             ratio = img_exp / (img_est + 1e-8)
             limit = _median_nonzero(ratio) * mult
             ratio = jnp.clip(ratio, 0.0, limit)
             # crop-before-multiply: see xlfm_deconvolve's body
-            corr = fftshift2d_real(jnp.fft.irfft2(
-                jnp.fft.rfft2(ratio) * otf_t, s=full_hw))
-            new_obj = obj * corr[:, :, pad_h:pad_h + obj_hw[0],
-                                 pad_w:pad_w + obj_hw[1]]
+            prod = spec_mul(rfft2(ratio), otf_t)
+            if isinstance(prod, SpecPair):
+                from cwfa_tpu.ops.gemm_fft import irfft2_window_gemm_pair
+                corr = irfft2_window_gemm_pair(
+                    prod.re, prod.im, full_hw,
+                    (pad_h, obj_hw[0]), (pad_w, obj_hw[1]))
+            else:
+                corr = fftshift2d_real(irfft2(prod, s=full_hw))[
+                    :, :, pad_h:pad_h + obj_hw[0],
+                    pad_w:pad_w + obj_hw[1]]
+            new_obj = obj * corr
             bad = jnp.any(jnp.isnan(ratio))
             return jnp.where(bad, obj, new_obj), img_est
 

@@ -17,9 +17,100 @@ the result.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Platforms whose runtime cannot execute the FFT HLO — or ANY complex64
+# arithmetic (both fail with runtime UNIMPLEMENTED on axon; the compile
+# succeeds, and a failed execution can wedge the device stream, so
+# capability cannot be probed safely at runtime).  Dispatch is by
+# platform name, overridable with CWFA_FFT_IMPL={gemm,xla}.  On these
+# platforms spectra are carried as SpecPair (re, im) f32 pairs and
+# transforms run as MXU matmul stages (ops.gemm_fft).
+_FFT_UNIMPLEMENTED = {"axon"}
+
+
+def backend_has_fft(platform: str | None = None) -> bool:
+    """Whether the active backend can execute FFT + complex64 HLOs."""
+    import os
+    forced = os.environ.get("CWFA_FFT_IMPL", "").lower()
+    if forced == "gemm":
+        return False
+    if forced == "xla":
+        return True
+    if platform is None:
+        platform = jax.default_backend()
+    if platform in _FFT_UNIMPLEMENTED:
+        return False
+    if platform == "tpu":
+        # the axon dev tunnel registers its platform as plain "tpu";
+        # identify it via the platform config / PJRT version string
+        if "axon" in (jax.config.jax_platforms or ""):
+            return False
+        ver = getattr(jax.devices()[0].client, "platform_version", "")
+        if "axon" in ver:
+            return False
+    return True
+
+
+class SpecPair(NamedTuple):
+    """A complex spectrum as separate (re, im) f32 arrays — the carrier
+    type on backends without complex64 support.  Registered as a pytree
+    (NamedTuple), so it flows through jit/shard_map like an array."""
+    re: jax.Array
+    im: jax.Array
+
+    @property
+    def shape(self):
+        return self.re.shape
+
+    @property
+    def nbytes(self):
+        return self.re.nbytes + self.im.nbytes
+
+
+def rfft2(x: jax.Array):
+    """rfft2 over the trailing two dims: the XLA FFT op (complex64 out)
+    on capable backends, else matmul stages returning a SpecPair."""
+    if backend_has_fft():
+        return jnp.fft.rfft2(x)
+    from cwfa_tpu.ops.gemm_fft import rfft2_gemm_pair
+    return SpecPair(*rfft2_gemm_pair(x))
+
+
+def irfft2(spec, s) -> jax.Array:
+    """irfft2 counterpart of :func:`rfft2` (s = trailing-dim sizes)."""
+    if isinstance(spec, SpecPair):
+        from cwfa_tpu.ops.gemm_fft import irfft2_gemm_pair
+        return irfft2_gemm_pair(spec.re, spec.im, tuple(s))
+    return jnp.fft.irfft2(spec, s=s)
+
+
+def spec_mul(a, b):
+    """Elementwise spectral product (broadcasting), either carrier."""
+    if isinstance(a, SpecPair) or isinstance(b, SpecPair):
+        assert isinstance(a, SpecPair) and isinstance(b, SpecPair), (
+            "mixed complex/SpecPair spectra: build every spectrum under "
+            "the same CWFA_FFT_IMPL / backend")
+        return SpecPair(a.re * b.re - a.im * b.im,
+                        a.re * b.im + a.im * b.re)
+    return a * b
+
+
+def spec_conj(spec):
+    if isinstance(spec, SpecPair):
+        return SpecPair(spec.re, -spec.im)
+    return jnp.conj(spec)
+
+
+def spec_slice_d(spec, sl):
+    """spec[:, sl] on the depth axis, either carrier."""
+    if isinstance(spec, SpecPair):
+        return SpecPair(spec.re[:, sl], spec.im[:, sl])
+    return spec[:, sl]
 
 
 def fftshift2d_real(x: jax.Array) -> jax.Array:
@@ -47,8 +138,8 @@ def fft_conv(a: jax.Array, b_fft: jax.Array, full_hw) -> jax.Array:
     spectra, inverse transform, recenter (utils.py:480-510, B_precomputed
     branch)."""
     a_pad = _pad_center(a.astype(jnp.float32), full_hw)
-    a_fft = jnp.fft.rfft2(a_pad)
-    out = jnp.fft.irfft2(a_fft * b_fft, s=full_hw)
+    a_fft = rfft2(a_pad)
+    out = irfft2(spec_mul(a_fft, b_fft), s=full_hw)
     return fftshift2d_real(out)
 
 
@@ -95,14 +186,16 @@ def precompute_otf(psf: jax.Array, obj_hw, *, smooth: bool = True,
     outs = []
     for j in range(0, d, depth_chunk):
         slab = psf[:, j:j + depth_chunk].astype(jnp.float32)
-        outs.append(jnp.fft.rfft2(_pad_center(slab, full_hw)))
-    return (outs[0] if len(outs) == 1
-            else jnp.concatenate(outs, axis=1)), full_hw
+        outs.append(rfft2(_pad_center(slab, full_hw)))
+    if len(outs) == 1:
+        return outs[0], full_hw
+    cat = lambda *leaves: jnp.concatenate(leaves, axis=1)
+    return jax.tree.map(cat, *outs), full_hw
 
 
 def _project_chunk(vol_chunk, otf_chunk, full_hw):
-    vol_fft = jnp.fft.rfft2(vol_chunk)
-    img = jnp.fft.irfft2(vol_fft * otf_chunk, s=full_hw)
+    vol_fft = rfft2(vol_chunk)
+    img = irfft2(spec_mul(vol_fft, otf_chunk), s=full_hw)
     img = fftshift2d_real(img)
     return jax.nn.relu(img).sum(axis=1, keepdims=True)
 
@@ -125,12 +218,15 @@ def xlfm_forward_project(vol: jax.Array, otf: jax.Array, full_hw,
         n_chunks = int(np.ceil(d / depth_chunk))
         pad_d = n_chunks * depth_chunk - d
         vol_c = jnp.pad(vol_pad, [(0, 0), (0, pad_d), (0, 0), (0, 0)])
-        otf_c = jnp.pad(otf, [(0, 0), (0, pad_d), (0, 0), (0, 0)])
+        otf_c = jax.tree.map(
+            lambda o: jnp.moveaxis(
+                jnp.pad(o, [(0, 0), (0, pad_d), (0, 0), (0, 0)])
+                .reshape(1, n_chunks, depth_chunk, *o.shape[-2:]), 1, 0),
+            otf)
         vol_c = vol_c.reshape(vol.shape[0], n_chunks, depth_chunk, *full_hw)
-        otf_c = otf_c.reshape(1, n_chunks, depth_chunk, *otf.shape[-2:])
         imgs = jax.lax.map(
             lambda args: _project_chunk(args[0], args[1], full_hw),
-            (jnp.moveaxis(vol_c, 1, 0), jnp.moveaxis(otf_c, 1, 0)))
+            (jnp.moveaxis(vol_c, 1, 0), otf_c))
         img = imgs.sum(axis=0)
     if psf_hw is not None:
         h0 = (full_hw[0] - psf_hw[0]) // 2

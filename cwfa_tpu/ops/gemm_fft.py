@@ -1,0 +1,264 @@
+"""FFT as MXU matmul stages (four-step Cooley–Tukey) for backends
+without an FFT lowering.
+
+The axon TPU backend rejects every ``jnp.fft`` call with UNIMPLEMENTED
+(the FFT HLO has no lowering on it), so the physics layer's FFT
+convolutions (reference utils.py:480-550) cannot run on the chip through
+XLA's op.  The TPU-native fallback is the classic expression of a DFT as
+matmul stages, which puts the butterflies on the MXU:
+
+  N = A*B,  input index n = a*B + b,  output index k = k1 + A*k2:
+  X[k1 + A*k2] = DFT_B_{b->k2}( W_N^{k1*b} * DFT_A_{a->k1}(x[a*B + b]) )
+
+with A the largest divisor of N <= 128 (the MXU contraction width), so
+the dominant stage is a K=A GEMM over all rows.  Complex values are
+carried as separate (re, im) f32 planes; matmuls run at an explicit
+precision (default HIGHEST — DFT matrices are dense rotations, and this
+JAX build truncates matmul inputs to bf16 at DEFAULT precision, which
+costs ~3 significant digits on a length-2880 transform).
+
+Canvas sizes from ops.fft_conv._next_smooth_even are 5-smooth and even,
+so a divisor A in [16, 128] always exists.  These functions are
+shape-generic and oracle-tested against numpy's FFT; on backends with a
+real FFT lowering prefer jnp.fft (fft_conv.rfft2/irfft2 dispatch on
+fft_conv.backend_has_fft).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _default_precision():
+    """Matmul precision for the DFT stages: CWFA_GEMM_FFT_PRECISION in
+    {highest (default — f32-grade, multi-pass bf16), high, default
+    (single-pass bf16: ~3 significant digits at N=2880, fine for
+    previews, not for parity)}."""
+    import os
+    name = os.environ.get("CWFA_GEMM_FFT_PRECISION", "highest").lower()
+    return {"default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST}[name]
+
+
+def _best_factor(n: int) -> int:
+    """Largest divisor of n that is <= 128 (A of the four-step split)."""
+    best = 1
+    for a in range(2, min(n, 128) + 1):
+        if n % a == 0:
+            best = a
+    return best
+
+
+@lru_cache(maxsize=64)
+def _dft_mats(n: int, inverse: bool):
+    """DFT matrix F[k, a] = exp(-+2j*pi*k*a/n) as (re, im) f32 pair."""
+    k = np.arange(n)
+    ang = 2.0 * np.pi * np.outer(k, k) / n
+    sign = 1.0 if inverse else -1.0
+    return (np.cos(ang).astype(np.float32),
+            (sign * np.sin(ang)).astype(np.float32))
+
+
+@lru_cache(maxsize=64)
+def _stage1_mats(n: int, a: int, inverse: bool):
+    """Stage-1 DFT matrix with the four-step twiddle FOLDED IN:
+    W1[k1, a', b] = exp(-+2j*pi*(k1*a'/A + k1*b/N)).
+
+    A separate twiddle pass costs a full read+write of the (..., A, B)
+    intermediate (HBM-bound at canvas scale: ~4 GB per slab transform);
+    folding it makes stage 1 a per-b batched GEMM with the same K=A
+    contraction and zero extra traffic."""
+    b = n // a
+    k1 = np.arange(a)[:, None, None]
+    ang = 2.0 * np.pi * (k1 * np.arange(a)[None, :, None] / a
+                         + k1 * np.arange(b)[None, None, :] / n)
+    sign = 1.0 if inverse else -1.0
+    return (np.cos(ang).astype(np.float32),
+            (sign * np.sin(ang)).astype(np.float32))
+
+
+def _cmatmul(fr, fi, xr, xi, spec, precision):
+    """Complex contraction einsum(spec, F, x): (Fr + iFi)(xr + ixi)."""
+    dot = partial(jnp.einsum, spec, precision=precision)
+    if xi is None:                       # real input: 2 matmuls
+        return dot(fr, xr), dot(fi, xr)
+    return (dot(fr, xr) - dot(fi, xi),
+            dot(fr, xi) + dot(fi, xr))
+
+
+def fft_last(xr, xi, *, inverse: bool = False, precision=None,
+             out_len: int | None = None):
+    """1-D complex DFT over the LAST axis via the four-step split.
+
+    xr/xi: (..., N) f32; xi=None for real input.  Returns (yr, yi); the
+    inverse applies no 1/N scaling (the rfft2/irfft2 pair scales once).
+    out_len: compute only the first out_len output bins (rounded up to a
+    multiple of A internally) — the rfft keeps N/2+1 bins, so stage 2
+    skips ~half its columns.
+    """
+    if precision is None:
+        precision = _default_precision()
+    n = xr.shape[-1]
+    a = _best_factor(n)
+    b = n // a
+    if b == 1:                           # single dense DFT matmul
+        fr, fi = map(jnp.asarray, _dft_mats(n, inverse))
+        yr, yi = _cmatmul(fr, fi, xr, xi, "ka,...a->...k", precision)
+        if out_len is not None:
+            yr, yi = yr[..., :out_len], yi[..., :out_len]
+        return yr, yi
+    xr = xr.reshape(xr.shape[:-1] + (a, b))
+    xi = None if xi is None else xi.reshape(xi.shape[:-1] + (a, b))
+    # stage 1 (twiddle folded in): per-b batched K=A GEMM
+    w1r, w1i = map(jnp.asarray, _stage1_mats(n, a, inverse))
+    yr, yi = _cmatmul(w1r, w1i, xr, xi, "kab,...ab->...kb", precision)
+    # stage 2: K=B GEMM; the einsum output order (..., k2, k1) IS the
+    # flat-index order k = k1 + A*k2, so no transpose pass is needed
+    fbr, fbi = map(jnp.asarray, _dft_mats(b, inverse))
+    keep = b if out_len is None else min(-(-out_len // a), b)
+    zr, zi = _cmatmul(fbr[:keep], fbi[:keep], yr, yi,
+                      "cb,...kb->...ck", precision)
+    out_shape = zr.shape[:-2] + (keep * a,)
+    zr, zi = zr.reshape(out_shape), zi.reshape(out_shape)
+    if out_len is not None and out_len != keep * a:
+        zr, zi = zr[..., :out_len], zi[..., :out_len]
+    return zr, zi
+
+
+def _fft_axis(xr, xi, axis: int, **kw):
+    xr = jnp.moveaxis(xr, axis, -1)
+    xi = None if xi is None else jnp.moveaxis(xi, axis, -1)
+    yr, yi = fft_last(xr, xi, **kw)
+    return jnp.moveaxis(yr, -1, axis), jnp.moveaxis(yi, -1, axis)
+
+
+def rfft2_gemm_pair(x, precision=None):
+    """jnp.fft.rfft2 equivalent on (..., H, W) real input -> (re, im) f32
+    pair of shape (..., H, W//2 + 1), via matmul DFT stages.  Never
+    touches a complex dtype (unsupported on the axon runtime)."""
+    w = x.shape[-1]
+    yr, yi = fft_last(x, None, precision=precision, out_len=w // 2 + 1)
+    return _fft_axis(yr, yi, -2, precision=precision)
+
+
+def rfft2_gemm(x, precision=None):
+    """Complex-dtype convenience wrapper (oracle tests on CPU)."""
+    return jax.lax.complex(*rfft2_gemm_pair(x, precision))
+
+
+def irfft2_gemm_pair(xr, xi, s, precision=None):
+    """jnp.fft.irfft2 equivalent on an (re, im) pair (..., H, W//2+1) ->
+    real (..., H, W) with W = s[1]; no complex dtypes."""
+    h, w = s
+    wr = w // 2 + 1
+    assert xr.shape[-1] == wr, (xr.shape, s)
+    assert xr.shape[-2] == h, (xr.shape, s)
+    xr, xi = _fft_axis(xr, xi, -2, inverse=True, precision=precision)
+    # Hermitian-extend the W spectrum: X[W-w'] = conj(X[w']) for
+    # w' in [1, W-Wr], then a full inverse DFT whose real part is the
+    # output (tail length W-Wr = Wr-2 for even W, Wr-1 for odd)
+    t = slice(1, w - wr + 1)
+    xr = jnp.concatenate([xr, xr[..., t][..., ::-1]], axis=-1)
+    xi = jnp.concatenate([xi, -xi[..., t][..., ::-1]], axis=-1)
+    yr, _ = fft_last(xr, xi, inverse=True, precision=precision)
+    return yr / (h * w)
+
+
+def irfft2_gemm(spec, s, precision=None):
+    """Complex-dtype convenience wrapper (oracle tests on CPU)."""
+    return irfft2_gemm_pair(jnp.real(spec), jnp.imag(spec), s, precision)
+
+
+# ---------------------------------------------------------------------------
+# Windowed inverse: evaluate only an output window of the inverse DFT.
+#
+# The RL back-projection reads ONLY the (600, 600) object window of each
+# (2880, 2880) correction plane (deconv.py crop-before-multiply), and the
+# DFT exponential W_N^{-mk} accepts ANY integer output index m, so the
+# fftshift-roll + crop composition folds into the evaluation points: cost
+# scales with the window, not the canvas (~3x fewer MACs and ~5x less
+# write traffic on the dominant deconv segment).  Exact — oracle-tested
+# against full-inverse + shift + crop.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=64)
+def _idft_window_mats(n: int, a: int, w0a: int, rows: int):
+    """Windowed-inverse stage matrices for output indices
+    m = w0a + p*B + m2 (p < rows, m2 < B, B = n/a):
+
+      stage 1: Fb[m2, k2] = exp(+2j*pi*m2*k2/B)        (K=B GEMM)
+      stage 2: W2[p, k1, m2] = exp(+2j*pi*(w0a + p*B + m2)*k1/n)
+
+    derived from out[m] = sum_k1 W_n^{-m k1} sum_k2 X[k1+A*k2] W_B^{-m k2}
+    (only m mod B enters the inner sum)."""
+    b = n // a
+    m2 = np.arange(b)
+    ang1 = 2.0 * np.pi * np.outer(m2, np.arange(b)) / b
+    m = (w0a + np.arange(rows)[:, None, None] * b
+         + m2[None, None, :])                        # (rows, 1, B)
+    ang2 = 2.0 * np.pi * m * np.arange(a)[None, :, None] / n
+    return (np.cos(ang1).astype(np.float32), np.sin(ang1).astype(np.float32),
+            np.cos(ang2).astype(np.float32), np.sin(ang2).astype(np.float32))
+
+
+def idft_window_last(xr, xi, w0: int, wl: int, *, real_out: bool = False,
+                     precision=None):
+    """Unscaled inverse DFT over the last axis, evaluated ONLY at output
+    indices [w0, w0+wl) (any integers — the kernel is N-periodic, so a
+    pre-roll crop window is expressed by passing its unrolled start).
+
+    xr/xi: complex spectrum as (re, im), full N bins on the last axis.
+    real_out: return just the real part (2 matmuls in stage 2).
+    """
+    if precision is None:
+        precision = _default_precision()
+    n = xr.shape[-1]
+    a = _best_factor(n)
+    b = n // a
+    w0a = (w0 // b) * b                 # align the window start to B
+    rows = -(-(w0 + wl - w0a) // b)
+    f1r, f1i, f2r, f2i = map(jnp.asarray,
+                             _idft_window_mats(n, a, w0a, rows))
+    # flat k = k1 + A*k2 is k2-major: reshape to (..., k2, k1)
+    xr = xr.reshape(xr.shape[:-1] + (b, a))
+    xi = xi.reshape(xi.shape[:-1] + (b, a))
+    ir, ii = _cmatmul(f1r, f1i, xr, xi, "mc,...ca->...ma", precision)
+    dot = partial(jnp.einsum, "pam,...ma->...pm", precision=precision)
+    yr = dot(f2r, ir) - dot(f2i, ii)
+    yi = None if real_out else dot(f2r, ii) + dot(f2i, ir)
+    out_shape = yr.shape[:-2] + (rows * b,)
+    sl = slice(w0 - w0a, w0 - w0a + wl)
+    yr = yr.reshape(out_shape)[..., sl]
+    yi = None if yi is None else yi.reshape(out_shape)[..., sl]
+    return yr, yi
+
+
+def irfft2_window_gemm_pair(xr, xi, s, h_win, w_win, precision=None):
+    """The (h_win, w_win) window of ``fftshift2d_real(irfft2(spec, s))``
+    without materializing the full canvas: h_win/w_win are (start, length)
+    in POST-fftshift coordinates (the deconv convention: roll by n//2 +
+    (n odd), then crop)."""
+    h, w = s
+    wr = w // 2 + 1
+    assert xr.shape[-1] == wr and xr.shape[-2] == h, (xr.shape, s)
+    (h0, hl), (w0, wl) = h_win, w_win
+    # post-shift index i reads unshifted index i - shift (mod n)
+    h0u = h0 - (h // 2 + h % 2)
+    w0u = w0 - (w // 2 + w % 2)
+    # H axis first (complex out, only hl rows survive to the W stage)
+    yr, yi = jnp.moveaxis(xr, -2, -1), jnp.moveaxis(xi, -2, -1)
+    yr, yi = idft_window_last(yr, yi, h0u, hl, precision=precision)
+    yr, yi = jnp.moveaxis(yr, -1, -2), jnp.moveaxis(yi, -1, -2)
+    # Hermitian-extend W bins (on hl rows only), then real-out W window
+    t = slice(1, w - wr + 1)
+    yr = jnp.concatenate([yr, yr[..., t][..., ::-1]], axis=-1)
+    yi = jnp.concatenate([yi, -yi[..., t][..., ::-1]], axis=-1)
+    out, _ = idft_window_last(yr, yi, w0u, wl, real_out=True,
+                              precision=precision)
+    return out / (h * w)

@@ -57,7 +57,8 @@ def main(argv):
 
     psf = make_psf()
     otf, full_hw = precompute_otf(psf, (vol_px, vol_px))
-    _ = np.asarray(otf[0, 0, :2, 0])          # barrier
+    # barrier (otf is a SpecPair on backends without complex support)
+    _ = np.asarray(jax.tree.leaves(otf)[0][0, 0, :2, 0])
     print(f"OTF precompute: full_hw={full_hw} "
           f"{otf.nbytes / 1e9:.2f} GB  {time.perf_counter() - t0:.1f} s",
           flush=True)
@@ -67,9 +68,23 @@ def main(argv):
         .astype(np.float32) * 100.0)
 
     for n_it in n_its:
-        run = lambda: xlfm_deconvolve(
-            otf, img_d, n_it, obj_hw=(vol_px, vol_px),
-            roi_depths=n_depths, depth_chunk=chunk, full_hw=full_hw)
+        # the axon tunnel kills device programs after ~1 min, so long
+        # iteration counts run as chained <=50-iteration segments via
+        # init_obj (numerics-identical: RL's loop state is the object)
+        segs = []
+        left = n_it
+        while left > 0:
+            segs.append(min(left, 50))
+            left -= segs[-1]
+
+        def run():
+            vol = None
+            for seg in segs:
+                vol, est = xlfm_deconvolve(
+                    otf, img_d, seg, obj_hw=(vol_px, vol_px),
+                    roi_depths=n_depths, depth_chunk=chunk,
+                    full_hw=full_hw, init_obj=vol)
+            return vol, est
         t0 = time.perf_counter()
         vol, _ = run()
         _ = np.asarray(vol[0, 0, 0, :4])      # compile + run barrier

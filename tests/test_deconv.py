@@ -106,3 +106,28 @@ def test_deconv_odd_full_width_needs_full_hw():
     recon = np.asarray(recon)[0]
     assert np.isfinite(recon).all()
     assert recon[0].argmax() == 5 * s + 11
+
+
+def test_deconv_init_obj_chaining_identical():
+    """n1-then-n2 chained calls via init_obj equal one n1+n2 call when
+    roi_depths == D (the resume/segmentation path the axon tunnel's
+    ~1-min device-program limit requires)."""
+    rng = np.random.RandomState(5)
+    # even D: the ROI formula lo=D//2-roi//2, hi=D//2+roi//2 keeps all
+    # depths only when D is even (odd D zeroes the last depth even at
+    # roi==D — reference floor arithmetic, utils.py:736-737)
+    d, s, p = 4, 16, 24
+    psf = rng.rand(1, d, p, p).astype(np.float32)
+    psf /= psf.sum(axis=(-2, -1), keepdims=True)
+    vol = (1.0 + rng.rand(1, d, s, s)).astype(np.float32)
+    otf, full_hw = precompute_otf(jnp.asarray(psf), (s, s))
+    img = xlfm_forward_project(jnp.asarray(vol), otf, full_hw, psf_hw=(p, p))
+
+    one, _ = xlfm_deconvolve(otf, img, n_iter=8, obj_hw=(s, s),
+                             roi_depths=d, full_hw=full_hw)
+    mid, _ = xlfm_deconvolve(otf, img, n_iter=5, obj_hw=(s, s),
+                             roi_depths=d, full_hw=full_hw)
+    two, _ = xlfm_deconvolve(otf, img, n_iter=3, obj_hw=(s, s),
+                             roi_depths=d, full_hw=full_hw, init_obj=mid)
+    np.testing.assert_allclose(np.asarray(two), np.asarray(one),
+                               rtol=1e-6, atol=1e-7)
