@@ -67,7 +67,10 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
     for W odd = W'+1 even), so when the true width is odd the even-width
     inference below would silently irfft onto a one-pixel-short canvas —
     pass the (otf, psf_hw, full_hw) triple load_psf_otf returns.
-    Returns (volume (B, D, obj_hw), img_est (B, 1, F0, F1)).
+    Returns (volume (B, D, obj_hw), img_est (B, 1, F0, F1)).  On
+    FFT-fallback backends (SpecPair otf) img_est is computed only on the
+    camera-support window and zero elsewhere — the RL update never reads
+    it outside that window (img_exp is exactly 0 there).
     """
     n_depths = otf.shape[1]
     if full_hw is None:
@@ -107,21 +110,42 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
         return jnp.swapaxes(
             obj.reshape(b_sz, n_chunks, chunk, *obj_hw), 0, 1)
 
+    is_pair = isinstance(otf, SpecPair)
+    i_h, i_w = img.shape[-2:]
+    ip_h = (full_hw[0] - i_h) // 2
+    ip_w = (full_hw[1] - i_w) // 2
+    img_f = img.astype(jnp.float32)
+
     def body(_, state):
         obj, _prev_est = state
 
         def fwd(acc, xs):
             ob, ot = xs
-            est = irfft2(spec_mul(rfft2(_pad_center(ob, full_hw)), ot),
-                         s=full_hw)
-            return acc + jax.nn.relu(fftshift2d_real(est)).sum(
-                1, keepdims=True), None
+            prod = spec_mul(rfft2(_pad_center(ob, full_hw)), ot)
+            if is_pair:
+                # matmul-DFT path: the estimate is only ever read where
+                # img_exp != 0 (ratio is exactly 0 elsewhere, and the
+                # nonzero-median ignores zeros), so evaluate just the
+                # camera-support window of the inverse
+                from cwfa_tpu.ops.gemm_fft import irfft2_window_gemm_pair
+                est = irfft2_window_gemm_pair(
+                    prod.re, prod.im, full_hw, (ip_h, i_h), (ip_w, i_w))
+            else:
+                est = fftshift2d_real(irfft2(prod, s=full_hw))
+            return acc + jax.nn.relu(est).sum(1, keepdims=True), None
 
-        img_est, _ = jax.lax.scan(
-            fwd, jnp.zeros_like(img_exp), (_chunked(obj), otf_scan))
-        ratio = img_exp / (img_est + 1e-8)
+        est0 = jnp.zeros((b_sz, 1, i_h, i_w), jnp.float32) if is_pair \
+            else jnp.zeros_like(img_exp)
+        est, _ = jax.lax.scan(fwd, est0, (_chunked(obj), otf_scan))
+        ratio = (img_f if is_pair else img_exp) / (est + 1e-8)
         limit = _median_nonzero(ratio) * update_median_limit_multiplier
         ratio = jnp.clip(ratio, 0.0, limit)
+        if is_pair:
+            # zero outside the camera support, exactly as img_exp/(x+eps)
+            ratio = _pad_center(ratio, full_hw)
+            img_est = _pad_center(est, full_hw)
+        else:
+            img_est = est
         # back-projection: the multiplicative update only reads the
         # correction inside the object window, so crop each slab BEFORE
         # the multiply — obj_pad * corr cropped == obj * crop(corr)

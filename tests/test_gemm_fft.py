@@ -92,8 +92,16 @@ def test_deconv_gemm_matches_xla_path(monkeypatch):
                                    roi_depths=d, full_hw=full_hw)
     np.testing.assert_allclose(np.asarray(rec_g), np.asarray(rec_x),
                                rtol=2e-3, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(est_g), np.asarray(est_x),
+    # the gemm path evaluates img_est only on the camera-support window
+    # (zeros elsewhere; the RL update never reads outside it)
+    i0, i1 = (full_hw[0] - p) // 2, (full_hw[1] - p) // 2
+    win = np.s_[:, :, i0:i0 + p, i1:i1 + p]
+    np.testing.assert_allclose(np.asarray(est_g)[win],
+                               np.asarray(est_x)[win],
                                rtol=2e-3, atol=1e-5)
+    outside = np.asarray(est_g).copy()
+    outside[win] = 0.0
+    assert np.all(outside == 0.0)
     # depth chunking through the pair carrier as well
     rec_c, _ = xlfm_deconvolve(otf_g, img_g, n_iter=8, obj_hw=(s, s),
                                roi_depths=d, depth_chunk=2, full_hw=full_hw)
