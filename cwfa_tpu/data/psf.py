@@ -89,7 +89,9 @@ def load_psf_otf(source, vol_size, device_put: bool = True):
     """PSF -> device OTF (reference load_PSF_OTF, utils.py:593-627).
 
     vol_size: (S, S, D) in the reference's (x, y, depths) order.
-    Returns (otf complex64 (1, D, F0, F1r), psf_hw, full_hw).
+    Returns (otf, psf_hw, full_hw); otf is complex64 (1, D, F0, F1r) on
+    backends with FFT/complex support, else a SpecPair (re, im) f32 pair
+    (ops.fft_conv.backend_has_fft).
     """
     n_depths = vol_size[-1]
     psf = load_psf(source, n_depths)
