@@ -87,8 +87,8 @@ def main(argv=None):
         # the matmul-DFT fallback keeps ~2x more canvas temporaries live
         # than a native FFT; unchunked it exceeds HBM at the reference
         # CLI scale (measured 16.5 GB > 15.75 at 2880^2 x 120; 30-depth
-        # scanned slabs fit and tie 60 on speed, 556 vs 559 ms/iter).
-        # Explicit --n_split_fourier overrides.
+        # scanned slabs fit and beat 60, 446.6 vs 455.6 ms/iter with the
+        # windowed-input forward).  Explicit --n_split_fourier overrides.
         depth_chunk = 30
         print("FFT-fallback backend: depth-chunking the RL FFTs at "
               f"{depth_chunk} planes (override with --n_split_fourier)",

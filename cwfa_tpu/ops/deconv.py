@@ -26,7 +26,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from cwfa_tpu.ops.fft_conv import (SpecPair, fftshift2d_real, _pad_center,
-                                   rfft2, irfft2, spec_mul, spec_conj)
+                                   rfft2, rfft2_padded, irfft2, spec_mul,
+                                   spec_conj)
+
+
+def _pack_inverse_pairs() -> bool:
+    """Depth-pair packing of the windowed inverse transforms on the
+    matmul-DFT path (gemm_fft.irfft2_window_gemm_pair pack_depth).
+    Measured SLOWER at reference CLI scale (477.8 vs 446.6 ms/iter on
+    v5e: the strided depth split/interleave relayouts exceed the halved
+    stage-1 transform count) — default off; CWFA_DECONV_PACK=1 enables
+    (read at trace time)."""
+    import os
+    return os.environ.get("CWFA_DECONV_PACK", "0") == "1"
 
 
 def _median_nonzero(x: jax.Array) -> jax.Array:
@@ -121,7 +133,7 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
 
         def fwd(acc, xs):
             ob, ot = xs
-            prod = spec_mul(rfft2(_pad_center(ob, full_hw)), ot)
+            prod = spec_mul(rfft2_padded(ob, full_hw), ot)
             if is_pair:
                 # matmul-DFT path: the estimate is only ever read where
                 # img_exp != 0 (ratio is exactly 0 elsewhere, and the
@@ -129,7 +141,8 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
                 # camera-support window of the inverse
                 from cwfa_tpu.ops.gemm_fft import irfft2_window_gemm_pair
                 est = irfft2_window_gemm_pair(
-                    prod.re, prod.im, full_hw, (ip_h, i_h), (ip_w, i_w))
+                    prod.re, prod.im, full_hw, (ip_h, i_h), (ip_w, i_w),
+                    pack_depth=_pack_inverse_pairs())
             else:
                 est = fftshift2d_real(irfft2(prod, s=full_hw))
             return acc + jax.nn.relu(est).sum(1, keepdims=True), None
@@ -141,17 +154,19 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
         limit = _median_nonzero(ratio) * update_median_limit_multiplier
         ratio = jnp.clip(ratio, 0.0, limit)
         if is_pair:
-            # zero outside the camera support, exactly as img_exp/(x+eps)
-            ratio = _pad_center(ratio, full_hw)
+            # the ratio is exactly 0 outside the camera support (as
+            # img_exp/(x+eps) is on the padded canvas), so its transform
+            # is a windowed-input rfft2 — never materialize the pad
             img_est = _pad_center(est, full_hw)
+            ratio_fft = rfft2_padded(ratio, full_hw)
         else:
             img_est = est
+            ratio_fft = rfft2(ratio)
         # back-projection: the multiplicative update only reads the
         # correction inside the object window, so crop each slab BEFORE
         # the multiply — obj_pad * corr cropped == obj * crop(corr)
         # exactly — and never materialize the full-canvas correction;
         # the per-slab conj fuses into the spectral multiply
-        ratio_fft = rfft2(ratio)
 
         def bwd(_, xs):
             ob, ot = xs
@@ -164,7 +179,8 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
                 from cwfa_tpu.ops.gemm_fft import irfft2_window_gemm_pair
                 corr = irfft2_window_gemm_pair(
                     prod.re, prod.im, full_hw,
-                    (pad_h, obj_hw[0]), (pad_w, obj_hw[1]))
+                    (pad_h, obj_hw[0]), (pad_w, obj_hw[1]),
+                    pack_depth=_pack_inverse_pairs())
                 return None, ob * corr
             corr = fftshift2d_real(irfft2(prod, s=full_hw))
             return None, ob * corr[:, :, pad_h:pad_h + obj_hw[0],
@@ -236,7 +252,7 @@ def xlfm_deconvolve_sharded(mesh, otf, img, n_iter: int, obj_hw=(512, 512),
         def body(_, state):
             obj, _prev = state
             est_local = jax.nn.relu(fftshift2d_real(irfft2(
-                spec_mul(rfft2(_pad_center(obj, full_hw)), otf_l),
+                spec_mul(rfft2_padded(obj, full_hw), otf_l),
                 s=full_hw))).sum(1, keepdims=True)
             img_est = jax.lax.psum(est_local, axis)
             ratio = img_exp / (img_est + 1e-8)
@@ -248,7 +264,8 @@ def xlfm_deconvolve_sharded(mesh, otf, img, n_iter: int, obj_hw=(512, 512),
                 from cwfa_tpu.ops.gemm_fft import irfft2_window_gemm_pair
                 corr = irfft2_window_gemm_pair(
                     prod.re, prod.im, full_hw,
-                    (pad_h, obj_hw[0]), (pad_w, obj_hw[1]))
+                    (pad_h, obj_hw[0]), (pad_w, obj_hw[1]),
+                    pack_depth=_pack_inverse_pairs())
             else:
                 corr = fftshift2d_real(irfft2(prod, s=full_hw))[
                     :, :, pad_h:pad_h + obj_hw[0],

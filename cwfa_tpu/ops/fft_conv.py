@@ -81,6 +81,21 @@ def rfft2(x: jax.Array):
     return SpecPair(*rfft2_gemm_pair(x))
 
 
+def rfft2_padded(x: jax.Array, full_hw):
+    """``rfft2(_pad_center(x, full_hw))``, the physics layer's universal
+    forward-transform shape.  On the matmul-DFT path the pad is never
+    materialized and the stage-1 GEMMs contract only the window's rows
+    (gemm_fft windowed-input transform — the object window is 600^2 of a
+    2880^2 canvas at reference CLI scale, ~17x fewer stage-1 MACs and
+    ~1 GB/slab less traffic); on FFT-capable backends this is exactly the
+    padded ``jnp.fft.rfft2``."""
+    x = x.astype(jnp.float32)
+    if backend_has_fft():
+        return jnp.fft.rfft2(_pad_center(x, full_hw))
+    from cwfa_tpu.ops.gemm_fft import rfft2_window_input_gemm_pair
+    return SpecPair(*rfft2_window_input_gemm_pair(x, tuple(full_hw)))
+
+
 def irfft2(spec, s) -> jax.Array:
     """irfft2 counterpart of :func:`rfft2` (s = trailing-dim sizes)."""
     if isinstance(spec, SpecPair):
@@ -137,8 +152,7 @@ def fft_conv(a: jax.Array, b_fft: jax.Array, full_hw) -> jax.Array:
     """Convolution with a precomputed rFFT kernel: pad a to full_hw, multiply
     spectra, inverse transform, recenter (utils.py:480-510, B_precomputed
     branch)."""
-    a_pad = _pad_center(a.astype(jnp.float32), full_hw)
-    a_fft = rfft2(a_pad)
+    a_fft = rfft2_padded(a, full_hw)
     out = irfft2(spec_mul(a_fft, b_fft), s=full_hw)
     return fftshift2d_real(out)
 
@@ -185,8 +199,8 @@ def precompute_otf(psf: jax.Array, obj_hw, *, smooth: bool = True,
     d = psf.shape[1]
     outs = []
     for j in range(0, d, depth_chunk):
-        slab = psf[:, j:j + depth_chunk].astype(jnp.float32)
-        outs.append(rfft2(_pad_center(slab, full_hw)))
+        slab = psf[:, j:j + depth_chunk]
+        outs.append(rfft2_padded(slab, full_hw))
     if len(outs) == 1:
         return outs[0], full_hw
     cat = lambda *leaves: jnp.concatenate(leaves, axis=1)
@@ -194,7 +208,7 @@ def precompute_otf(psf: jax.Array, obj_hw, *, smooth: bool = True,
 
 
 def _project_chunk(vol_chunk, otf_chunk, full_hw):
-    vol_fft = rfft2(vol_chunk)
+    vol_fft = rfft2_padded(vol_chunk, full_hw)
     img = irfft2(spec_mul(vol_fft, otf_chunk), s=full_hw)
     img = fftshift2d_real(img)
     return jax.nn.relu(img).sum(axis=1, keepdims=True)
@@ -210,20 +224,21 @@ def xlfm_forward_project(vol: jax.Array, otf: jax.Array, full_hw,
     Returns (B, 1, psf_hw) when psf_hw is given (center crop), else the
     padded (B, 1, full_hw) image.
     """
-    vol_pad = _pad_center(vol.astype(jnp.float32), full_hw)
+    vol = vol.astype(jnp.float32)
     d = vol.shape[1]
     if depth_chunk is None or depth_chunk >= d:
-        img = _project_chunk(vol_pad, otf, full_hw)
+        img = _project_chunk(vol, otf, full_hw)
     else:
         n_chunks = int(np.ceil(d / depth_chunk))
         pad_d = n_chunks * depth_chunk - d
-        vol_c = jnp.pad(vol_pad, [(0, 0), (0, pad_d), (0, 0), (0, 0)])
+        vol_c = jnp.pad(vol, [(0, 0), (0, pad_d), (0, 0), (0, 0)])
         otf_c = jax.tree.map(
             lambda o: jnp.moveaxis(
                 jnp.pad(o, [(0, 0), (0, pad_d), (0, 0), (0, 0)])
                 .reshape(1, n_chunks, depth_chunk, *o.shape[-2:]), 1, 0),
             otf)
-        vol_c = vol_c.reshape(vol.shape[0], n_chunks, depth_chunk, *full_hw)
+        vol_c = vol_c.reshape(vol.shape[0], n_chunks, depth_chunk,
+                              *vol.shape[-2:])
         imgs = jax.lax.map(
             lambda args: _project_chunk(args[0], args[1], full_hw),
             (jnp.moveaxis(vol_c, 1, 0), otf_c))

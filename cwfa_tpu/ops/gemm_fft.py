@@ -175,6 +175,108 @@ def irfft2_gemm(spec, s, precision=None):
 
 
 # ---------------------------------------------------------------------------
+# Windowed input: transform a signal known to be zero outside a window.
+#
+# The RL forward projection transforms the object volume zero-padded from
+# (600, 600) into the (2880, 2880) canvas, and the ratio zero-padded from
+# the (2160, 2160) camera support (deconv.py): the DFT sum only receives
+# contributions from the window, so the stage-1 contraction shrinks from
+# K=A to the ~window/B rows that overlap it AND the padded canvas (~1 GB
+# per slab) is never materialized.  Exact — oracle-tested against
+# pad + full transform.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=64)
+def _stage1_window_mats(n: int, a: int, a0: int, rows: int):
+    """Stage-1 matrices (twiddle folded, see _stage1_mats) sliced to the
+    absolute input rows a' = a0 .. a0+rows-1 of the (A, B) input split:
+    W1[k1, r, b] = exp(-2j*pi*(k1*(a0+r)/A + k1*b/N))."""
+    b = n // a
+    k1 = np.arange(a)[:, None, None]
+    aa = (a0 + np.arange(rows))[None, :, None]
+    ang = 2.0 * np.pi * (k1 * aa / a + k1 * np.arange(b)[None, None, :] / n)
+    return (np.cos(ang).astype(np.float32),
+            (-np.sin(ang)).astype(np.float32))
+
+
+def fft_last_window(xr, xi, i0: int, n: int, *, out_len: int | None = None,
+                    precision=None):
+    """Forward DFT over the LAST axis of a length-``n`` signal that is zero
+    outside ``[i0, i0+il)``, given only the window (``il = xr.shape[-1]``).
+
+    Same output as ``fft_last`` on the zero-padded signal; the stage-1
+    GEMM contracts only the ~il/B input rows overlapping the window and
+    the pad is never materialized.  xi=None for real input; out_len as in
+    :func:`fft_last`.
+    """
+    if precision is None:
+        precision = _default_precision()
+    il = xr.shape[-1]
+    assert 0 <= i0 and i0 + il <= n, (i0, il, n)
+    if 2 * il > n:
+        # wide windows don't pay: stage-1 K-pruning buys no MXU time
+        # (K < 128 pads to one pass either way) and the aligned-window
+        # pad/reshape costs relayouts — measured on the 2160-in-2880 PSF
+        # precompute (42 s vs 22 s warm).  The win is row pruning, which
+        # needs a genuinely small window; zero-pad and transform fully.
+        pads = [(0, 0)] * (xr.ndim - 1) + [(i0, n - i0 - il)]
+        return fft_last(jnp.pad(xr, pads),
+                        None if xi is None else jnp.pad(xi, pads),
+                        out_len=out_len, precision=precision)
+    a = _best_factor(n)
+    b = n // a
+    if b == 1:                           # dense DFT, window-sliced columns
+        fr, fi = _dft_mats(n, False)
+        fr = jnp.asarray(fr[:, i0:i0 + il])
+        fi = jnp.asarray(fi[:, i0:i0 + il])
+        yr, yi = _cmatmul(fr, fi, xr, xi, "ka,...a->...k", precision)
+        if out_len is not None:
+            yr, yi = yr[..., :out_len], yi[..., :out_len]
+        return yr, yi
+    # align the window to the B-grid of the (A, B) input split
+    a0 = i0 // b
+    lead = i0 - a0 * b
+    rows = -(-(lead + il) // b)
+    pads = [(0, 0)] * (xr.ndim - 1) + [(lead, rows * b - lead - il)]
+    xr = jnp.pad(xr, pads).reshape(xr.shape[:-1] + (rows, b))
+    xi = None if xi is None else (
+        jnp.pad(xi, pads).reshape(xi.shape[:-1] + (rows, b)))
+    w1r, w1i = map(jnp.asarray, _stage1_window_mats(n, a, a0, rows))
+    yr, yi = _cmatmul(w1r, w1i, xr, xi, "krb,...rb->...kb", precision)
+    # stage 2 identical to fft_last: K=B GEMM, flat-order (..., k2, k1) out
+    fbr, fbi = map(jnp.asarray, _dft_mats(b, False))
+    keep = b if out_len is None else min(-(-out_len // a), b)
+    zr, zi = _cmatmul(fbr[:keep], fbi[:keep], yr, yi,
+                      "cb,...kb->...ck", precision)
+    out_shape = zr.shape[:-2] + (keep * a,)
+    zr, zi = zr.reshape(out_shape), zi.reshape(out_shape)
+    if out_len is not None and out_len != keep * a:
+        zr, zi = zr[..., :out_len], zi[..., :out_len]
+    return zr, zi
+
+
+def rfft2_window_input_gemm_pair(x, s, h0: int | None = None,
+                                 w0: int | None = None, precision=None):
+    """``rfft2`` of ``x`` zero-padded into canvas ``s`` with its top-left
+    at ``(h0, w0)`` (default: centered, the ``_pad_center`` convention),
+    computed without materializing the padded canvas: the W pass runs only
+    on x's nonzero rows, and both passes contract only the window's
+    stage-1 rows.  Returns an (re, im) pair of shape (..., H, W//2+1)."""
+    h, w = s
+    hi, wi = x.shape[-2:]
+    if h0 is None:
+        h0 = (h - hi) // 2
+    if w0 is None:
+        w0 = (w - wi) // 2
+    yr, yi = fft_last_window(x, None, w0, w, out_len=w // 2 + 1,
+                             precision=precision)
+    yr, yi = jnp.moveaxis(yr, -2, -1), jnp.moveaxis(yi, -2, -1)
+    zr, zi = fft_last_window(yr, yi, h0, h, precision=precision)
+    return jnp.moveaxis(zr, -1, -2), jnp.moveaxis(zi, -1, -2)
+
+
+# ---------------------------------------------------------------------------
 # Windowed inverse: evaluate only an output window of the inverse DFT.
 #
 # The RL back-projection reads ONLY the (600, 600) object window of each
@@ -239,11 +341,19 @@ def idft_window_last(xr, xi, w0: int, wl: int, *, real_out: bool = False,
     return yr, yi
 
 
-def irfft2_window_gemm_pair(xr, xi, s, h_win, w_win, precision=None):
+def irfft2_window_gemm_pair(xr, xi, s, h_win, w_win, precision=None,
+                            pack_depth: bool = False):
     """The (h_win, w_win) window of ``fftshift2d_real(irfft2(spec, s))``
     without materializing the full canvas: h_win/w_win are (start, length)
     in POST-fftshift coordinates (the deconv convention: roll by n//2 +
-    (n odd), then crop)."""
+    (n odd), then crop).
+
+    pack_depth: with an even-length axis at -3 (the depth slab), pack
+    plane pairs (2d, 2d+1) as the (re, im) halves of ONE complex W-stage
+    transform — each windowed inverse is real, so the complex inverse of
+    Z = E_2d + i*E_2d+1 carries both planes exactly; the W-stage-1
+    transform count halves (f32-rounding-level differences only, not
+    bit-identical to the unpacked path)."""
     h, w = s
     wr = w // 2 + 1
     assert xr.shape[-1] == wr and xr.shape[-2] == h, (xr.shape, s)
@@ -259,6 +369,14 @@ def irfft2_window_gemm_pair(xr, xi, s, h_win, w_win, precision=None):
     t = slice(1, w - wr + 1)
     yr = jnp.concatenate([yr, yr[..., t][..., ::-1]], axis=-1)
     yi = jnp.concatenate([yi, -yi[..., t][..., ::-1]], axis=-1)
+    if pack_depth and xr.ndim >= 3 and xr.shape[-3] % 2 == 0:
+        zr = yr[..., 0::2, :, :] - yi[..., 1::2, :, :]
+        zi = yi[..., 0::2, :, :] + yr[..., 1::2, :, :]
+        er, ei = idft_window_last(zr, zi, w0u, wl, real_out=False,
+                                  precision=precision)
+        out = jnp.stack([er, ei], axis=-3)
+        out = out.reshape(out.shape[:-4] + (xr.shape[-3], hl, wl))
+        return out / (h * w)
     out, _ = idft_window_last(yr, yi, w0u, wl, real_out=True,
                               precision=precision)
     return out / (h * w)

@@ -124,6 +124,73 @@ def test_forward_project_chunked_pair(monkeypatch):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("n,i0,il", [
+    (2880, 1140, 600),   # reference object window in the A=120/B=24 split
+    (180, 37, 81),       # four-step (A=90/B=2), unaligned lead/tail
+    (180, 0, 180),       # full window == full transform
+    (60, 13, 20),        # dense single-matmul branch (n <= 128)
+])
+def test_fft_last_window_oracle(n, i0, il):
+    """Windowed-input DFT == DFT of the zero-padded signal, real and
+    complex inputs, with and without rfft out_len truncation."""
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, il).astype(np.float32)
+    pad = np.zeros((2, n), np.float32)
+    pad[:, i0:i0 + il] = x
+    want = np.fft.fft(pad)
+    yr, yi = gf.fft_last_window(jnp.asarray(x), None, i0, n)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.abs(got - want).max() <= 2e-5 * np.abs(want).max()
+    # complex input (the H pass of rfft2_window_input)
+    xi = rng.randn(2, il).astype(np.float32)
+    padi = np.zeros((2, n), np.float32)
+    padi[:, i0:i0 + il] = xi
+    wantc = np.fft.fft(pad + 1j * padi)
+    yr, yi = gf.fft_last_window(jnp.asarray(x), jnp.asarray(xi), i0, n)
+    gotc = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.abs(gotc - wantc).max() <= 2e-5 * np.abs(wantc).max()
+    # out_len truncation (the rfft bin cut)
+    keep = n // 2 + 1
+    yr, yi = gf.fft_last_window(jnp.asarray(x), None, i0, n, out_len=keep)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert got.shape[-1] == keep
+    assert np.abs(got - want[:, :keep]).max() <= 2e-5 * np.abs(want).max()
+
+
+@pytest.mark.parametrize("h,w,hi,wi,off", [
+    (48, 96, 20, 30, None),     # centered (the _pad_center convention)
+    (60, 90, 60, 17, (0, 5)),   # full-H window, explicit corner offset
+    (96, 120, 31, 1, None),     # 1-wide window
+])
+def test_rfft2_window_input_oracle(h, w, hi, wi, off):
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 3, hi, wi).astype(np.float32)
+    h0, w0 = off if off else ((h - hi) // 2, (w - wi) // 2)
+    pad = np.zeros((2, 3, h, w), np.float32)
+    pad[:, :, h0:h0 + hi, w0:w0 + wi] = x
+    want = np.fft.rfft2(pad)
+    zr, zi = gf.rfft2_window_input_gemm_pair(jnp.asarray(x), (h, w), h0, w0)
+    got = np.asarray(zr) + 1j * np.asarray(zi)
+    assert np.abs(got - want).max() <= 2e-5 * (np.abs(want).max() + 1e-9)
+
+
+def test_rfft2_padded_dispatch(monkeypatch):
+    """rfft2_padded == rfft2(pad_center(x)) on both carriers."""
+    from cwfa_tpu.ops.fft_conv import rfft2_padded, _pad_center
+    rng = np.random.RandomState(6)
+    x = rng.randn(1, 2, 18, 25).astype(np.float32)
+    full = (48, 60)
+    want = np.fft.rfft2(np.asarray(_pad_center(jnp.asarray(x), full)))
+    assert backend_has_fft()
+    got_x = np.asarray(rfft2_padded(jnp.asarray(x), full))
+    assert np.abs(got_x - want).max() <= 2e-5 * np.abs(want).max()
+    monkeypatch.setenv("CWFA_FFT_IMPL", "gemm")
+    got_g = rfft2_padded(jnp.asarray(x), full)
+    assert isinstance(got_g, SpecPair)
+    got_g = np.asarray(got_g.re) + 1j * np.asarray(got_g.im)
+    assert np.abs(got_g - want).max() <= 2e-5 * np.abs(want).max()
+
+
 @pytest.mark.parametrize("h,w,h_win,w_win", [
     (48, 96, (10, 20), (30, 24)),
     (60, 60, (0, 60), (0, 60)),
@@ -144,3 +211,15 @@ def test_irfft2_window_oracle(h, w, h_win, w_win):
         jnp.asarray(spec.real), jnp.asarray(spec.imag), (h, w),
         h_win, w_win))
     assert np.abs(got - want).max() <= 2e-5 * (np.abs(want).max() + 1e-9)
+    # depth-pair packing on an even (-3) axis matches to f32; an odd
+    # axis (3 planes, as here) falls back to the unpacked path exactly
+    odd = np.asarray(gf.irfft2_window_gemm_pair(
+        jnp.asarray(spec.real), jnp.asarray(spec.imag), (h, w),
+        h_win, w_win, pack_depth=True))
+    np.testing.assert_allclose(odd, got, rtol=0, atol=0)
+    spec4 = np.concatenate([spec, spec[:, :1]], axis=1)
+    want4 = np.concatenate([want, want[:, :1]], axis=1)
+    packed = np.asarray(gf.irfft2_window_gemm_pair(
+        jnp.asarray(spec4.real), jnp.asarray(spec4.imag), (h, w),
+        h_win, w_win, pack_depth=True))
+    assert np.abs(packed - want4).max() <= 2e-5 * (np.abs(want4).max() + 1e-9)
