@@ -12,9 +12,13 @@ TPU design: the whole loop is one ``lax.fori_loop`` inside ``jax.jit``; the
 per-depth FFTs run as one batched rfft2 over the depth axis (optionally
 chunked via ``depth_chunk`` — the n_split_fourier analogue) and the depth
 reduction is a single sum, which XLA turns into a ``psum`` over the mesh when
-the depth axis is sharded (SURVEY.md §5.7).  The reference's NaN early-abort
-(utils.py:707-709) becomes a NaN-freeze: once NaN appears the state stops
-updating, preserving restartability without host round-trips per iteration.
+the depth axis is sharded (SURVEY.md §5.7).  With ``fourier_sum`` (default)
+the forward projection's depth reduction happens in the FOURIER domain, so
+one single-plane inverse transform replaces one per depth slab (exact by
+linearity; the per-depth relu it commutes past only clips FFT roundoff — see
+``xlfm_deconvolve``).  The reference's NaN early-abort (utils.py:707-709)
+becomes a NaN-freeze: once NaN appears the state stops updating, preserving
+restartability without host round-trips per iteration.
 """
 
 from __future__ import annotations
@@ -56,12 +60,12 @@ def _median_nonzero(x: jax.Array) -> jax.Array:
 @partial(jax.jit, static_argnames=("n_iter", "obj_hw", "roi_depths",
                                    "depth_chunk",
                                    "update_median_limit_multiplier",
-                                   "full_hw"))
+                                   "full_hw", "fourier_sum"))
 def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
                     obj_hw=(512, 512), roi_depths: int = 90,
                     depth_chunk: int | None = None,
                     update_median_limit_multiplier: float = 10.0,
-                    full_hw=None, init_obj=None):
+                    full_hw=None, init_obj=None, fourier_sum: bool = True):
     """RL-deconvolve an XLFM camera image into a depth volume.
 
     otf: (1, D, F0, F1r) complex rFFT of the padded PSF (precompute_otf).
@@ -79,6 +83,21 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
     for W odd = W'+1 even), so when the true width is odd the even-width
     inference below would silently irfft onto a one-pixel-short canvas —
     pass the (otf, psf_hw, full_hw) triple load_psf_otf returns.
+    fourier_sum: sum the forward projection over depth in the FOURIER
+    domain (linearity: sum_d irfft2(S_d) == irfft2(sum_d S_d)), so ONE
+    single-plane inverse transform replaces one per depth slab — the
+    dominant forward-projection segment disappears.  The reference
+    applies relu per depth BEFORE its sum (utils.py:700), but each
+    per-depth plane is a circular convolution of two nonnegative arrays
+    (object x sum-normalized PSF), nonnegative in exact arithmetic — the
+    per-depth relu only clips FFT roundoff ringing, so relu-after-sum
+    is equivalent to roundoff (equivalence-tested).  Caveat: at pixels
+    where the TRUE estimate is near zero the Fourier sum leaves an
+    absolute roundoff floor of ~1e-7 x peak (spectral cancellation; the
+    per-depth path's nonneg image-domain sum has no cancellation), and
+    the RL ratio can amplify that into relative — not absolute —
+    divergence at low-signal voxels over iterations.  Set False for the
+    reference's literal per-depth order.
     Returns (volume (B, D, obj_hw), img_est (B, 1, F0, F1)).  On
     FFT-fallback backends (SpecPair otf) img_est is computed only on the
     camera-support window and zero elsewhere — the RL update never reads
@@ -128,28 +147,61 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
     ip_w = (full_hw[1] - i_w) // 2
     img_f = img.astype(jnp.float32)
 
+    f_hw = jax.tree.leaves(otf)[0].shape[-2:]
+
     def body(_, state):
         obj, _prev_est = state
 
-        def fwd(acc, xs):
-            ob, ot = xs
-            prod = spec_mul(rfft2_padded(ob, full_hw), ot)
+        if fourier_sum:
+            # depth sum by linearity in the Fourier domain: each slab
+            # contributes one spectrum-plane accumulate; a SINGLE
+            # 1-plane inverse transform then replaces the per-slab
+            # inverses (relu moves after the sum — see the docstring)
+            def fwd(acc, xs):
+                ob, ot = xs
+                prod = spec_mul(rfft2_padded(ob, full_hw), ot)
+                if is_pair:
+                    return SpecPair(acc.re + prod.re.sum(1, keepdims=True),
+                                    acc.im + prod.im.sum(1, keepdims=True)
+                                    ), None
+                return acc + prod.sum(1, keepdims=True), None
+
+            acc0 = (SpecPair(jnp.zeros((b_sz, 1) + f_hw, jnp.float32),
+                             jnp.zeros((b_sz, 1) + f_hw, jnp.float32))
+                    if is_pair else
+                    jnp.zeros((b_sz, 1) + f_hw, jnp.complex64))
+            spec, _ = jax.lax.scan(fwd, acc0, (_chunked(obj), otf_scan))
             if is_pair:
-                # matmul-DFT path: the estimate is only ever read where
-                # img_exp != 0 (ratio is exactly 0 elsewhere, and the
-                # nonzero-median ignores zeros), so evaluate just the
-                # camera-support window of the inverse
+                # evaluate just the camera-support window of the inverse
+                # (the estimate is only ever read where img_exp != 0)
                 from cwfa_tpu.ops.gemm_fft import irfft2_window_gemm_pair
                 est = irfft2_window_gemm_pair(
-                    prod.re, prod.im, full_hw, (ip_h, i_h), (ip_w, i_w),
-                    pack_depth=_pack_inverse_pairs())
+                    spec.re, spec.im, full_hw, (ip_h, i_h), (ip_w, i_w))
             else:
-                est = fftshift2d_real(irfft2(prod, s=full_hw))
-            return acc + jax.nn.relu(est).sum(1, keepdims=True), None
+                est = fftshift2d_real(irfft2(spec, s=full_hw))
+            est = jax.nn.relu(est)
+        else:
+            def fwd(acc, xs):
+                ob, ot = xs
+                prod = spec_mul(rfft2_padded(ob, full_hw), ot)
+                if is_pair:
+                    # matmul-DFT path: the estimate is only ever read
+                    # where img_exp != 0 (ratio is exactly 0 elsewhere,
+                    # and the nonzero-median ignores zeros), so evaluate
+                    # just the camera-support window of the inverse
+                    from cwfa_tpu.ops.gemm_fft import \
+                        irfft2_window_gemm_pair
+                    est = irfft2_window_gemm_pair(
+                        prod.re, prod.im, full_hw,
+                        (ip_h, i_h), (ip_w, i_w),
+                        pack_depth=_pack_inverse_pairs())
+                else:
+                    est = fftshift2d_real(irfft2(prod, s=full_hw))
+                return acc + jax.nn.relu(est).sum(1, keepdims=True), None
 
-        est0 = jnp.zeros((b_sz, 1, i_h, i_w), jnp.float32) if is_pair \
-            else jnp.zeros_like(img_exp)
-        est, _ = jax.lax.scan(fwd, est0, (_chunked(obj), otf_scan))
+            est0 = jnp.zeros((b_sz, 1, i_h, i_w), jnp.float32) if is_pair \
+                else jnp.zeros_like(img_exp)
+            est, _ = jax.lax.scan(fwd, est0, (_chunked(obj), otf_scan))
         ratio = (img_f if is_pair else img_exp) / (est + 1e-8)
         limit = _median_nonzero(ratio) * update_median_limit_multiplier
         ratio = jnp.clip(ratio, 0.0, limit)
@@ -251,10 +303,17 @@ def xlfm_deconvolve_sharded(mesh, otf, img, n_iter: int, obj_hw=(512, 512),
 
         def body(_, state):
             obj, _prev = state
-            est_local = jax.nn.relu(fftshift2d_real(irfft2(
-                spec_mul(rfft2_padded(obj, full_hw), otf_l),
-                s=full_hw))).sum(1, keepdims=True)
-            img_est = jax.lax.psum(est_local, axis)
+            # depth sum in Fourier (see xlfm_deconvolve): the psum rides
+            # the spectrum and ONE 1-plane inverse runs per shard
+            prod = spec_mul(rfft2_padded(obj, full_hw), otf_l)
+            if isinstance(prod, SpecPair):
+                spec_l = SpecPair(prod.re.sum(1, keepdims=True),
+                                  prod.im.sum(1, keepdims=True))
+            else:
+                spec_l = prod.sum(1, keepdims=True)
+            spec_g = jax.lax.psum(spec_l, axis)
+            img_est = jax.nn.relu(fftshift2d_real(
+                irfft2(spec_g, s=full_hw)))
             ratio = img_exp / (img_est + 1e-8)
             limit = _median_nonzero(ratio) * mult
             ratio = jnp.clip(ratio, 0.0, limit)

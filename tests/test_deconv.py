@@ -131,3 +131,33 @@ def test_deconv_init_obj_chaining_identical():
                              roi_depths=d, full_hw=full_hw, init_obj=mid)
     np.testing.assert_allclose(np.asarray(two), np.asarray(one),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_deconv_fourier_sum_matches_per_depth(monkeypatch):
+    """``fourier_sum`` (default) sums the forward projection over depth in
+    the Fourier domain, so ONE single-plane inverse transform replaces one
+    per depth slab.  Equivalent to the reference's per-depth
+    relu-then-sum (utils.py:700) up to FFT roundoff: each per-depth plane
+    is a circular convolution of nonnegative arrays, so the relu only
+    clips ringing.  Checked on both spectrum carriers."""
+    d, s, p = 4, 16, 32
+    rng = np.random.RandomState(7)
+    psf = np.abs(rng.rand(1, d, p, p)).astype(np.float32)
+    psf /= psf.sum(axis=(-2, -1), keepdims=True)
+    vol = jnp.asarray(np.abs(rng.rand(1, d, s, s)).astype(np.float32))
+    for impl in ("xla", "gemm"):
+        monkeypatch.setenv("CWFA_FFT_IMPL", impl)
+        otf, full_hw = precompute_otf(jnp.asarray(psf), (s, s))
+        img = xlfm_forward_project(vol, otf, full_hw, psf_hw=(p, p))
+        r_fs, e_fs = xlfm_deconvolve(otf, img, n_iter=6, obj_hw=(s, s),
+                                     roi_depths=d, depth_chunk=2,
+                                     full_hw=full_hw)
+        r_pd, e_pd = xlfm_deconvolve(otf, img, n_iter=6, obj_hw=(s, s),
+                                     roi_depths=d, depth_chunk=2,
+                                     full_hw=full_hw, fourier_sum=False)
+        np.testing.assert_allclose(np.asarray(r_fs), np.asarray(r_pd),
+                                   rtol=5e-4, atol=5e-5,
+                                   err_msg=f"volume mismatch ({impl})")
+        np.testing.assert_allclose(np.asarray(e_fs), np.asarray(e_pd),
+                                   rtol=5e-4, atol=5e-5,
+                                   err_msg=f"img_est mismatch ({impl})")
