@@ -103,7 +103,7 @@ def load_xlfmnet(path: str):
     found = discover_checkpoints(path, prefix="xlfmnet_step_*__ep_*")
     if not found:
         raise FileNotFoundError(f"no xlfmnet_step_* checkpoint in {path!r}")
-    _, fname = found[min(found)]
+    _, fname = found[max(found)]      # newest = highest step number
     payload, cfg, stats = load_step_checkpoint(fname)
     spec = build_xlfmnet_spec(cfg)
     params, state = init_xlfmnet(jax.random.PRNGKey(0), spec)

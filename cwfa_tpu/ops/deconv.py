@@ -121,9 +121,19 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
 
     chunk = (n_depths if depth_chunk is None
              else min(depth_chunk, n_depths))
-    while n_depths % chunk:            # largest divisor <= requested
-        chunk -= 1
-    n_chunks = n_depths // chunk
+    n_chunks = -(-n_depths // chunk)
+    # ragged depth counts zero-pad to a whole slab rather than shrinking
+    # the chunk (a prime n_depths would degrade to chunk=1, i.e. one
+    # 1-plane scan step per depth): a zero OTF plane contributes nothing
+    # to the forward sum and its back-projected correction is zero, so a
+    # zero-initialized pad depth stays zero under the multiplicative
+    # update and is sliced off after the loop.
+    d_pad = n_chunks * chunk - n_depths
+    d_total = n_depths + d_pad
+    if d_pad:
+        pads = [(0, 0), (0, d_pad), (0, 0), (0, 0)]
+        otf = jax.tree.map(lambda o: jnp.pad(o, pads), otf)
+        obj = jnp.pad(obj, pads)
     b_sz = img.shape[0]
 
     # depth-chunked slabs as a lax.scan: an unrolled Python loop lets the
@@ -137,9 +147,9 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
         lambda o: jnp.swapaxes(
             o.reshape(1, n_chunks, chunk, *o.shape[-2:]), 0, 1), otf)
 
-    def _chunked(obj):
+    def _chunked(ob):
         return jnp.swapaxes(
-            obj.reshape(b_sz, n_chunks, chunk, *obj_hw), 0, 1)
+            ob.reshape(b_sz, n_chunks, chunk, *obj_hw), 0, 1)
 
     is_pair = isinstance(otf, SpecPair)
     i_h, i_w = img.shape[-2:]
@@ -208,11 +218,13 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
         if is_pair:
             # the ratio is exactly 0 outside the camera support (as
             # img_exp/(x+eps) is on the padded canvas), so its transform
-            # is a windowed-input rfft2 — never materialize the pad
-            img_est = _pad_center(est, full_hw)
+            # is a windowed-input rfft2 — never materialize the pad.
+            # est itself is carried WINDOW-sized through the loop (only
+            # the final iteration's value is returned; padding it to the
+            # canvas every iteration wrote ~(canvas/window)^2 more bytes
+            # per carry for nothing) and padded once after the loop.
             ratio_fft = rfft2_padded(ratio, full_hw)
         else:
-            img_est = est
             ratio_fft = rfft2(ratio)
         # back-projection: the multiplicative update only reads the
         # correction inside the object window, so crop each slab BEFORE
@@ -240,14 +252,18 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
 
         _, new_c = jax.lax.scan(bwd, None, (_chunked(obj), otf_scan))
         new_obj = jnp.swapaxes(new_c, 0, 1).reshape(
-            b_sz, n_depths, *obj_hw)
+            b_sz, d_total, *obj_hw)
         # NaN-freeze instead of the reference's host-side loop break
         bad = jnp.any(jnp.isnan(ratio))
         new_obj = jnp.where(bad, obj, new_obj)
-        return new_obj, img_est
+        return new_obj, est
 
-    obj, img_est = jax.lax.fori_loop(
-        0, n_iter, body, (obj, jnp.zeros_like(img_exp)))
+    est0 = (jnp.zeros((b_sz, 1, i_h, i_w), jnp.float32) if is_pair
+            else jnp.zeros_like(img_exp))
+    obj, img_est = jax.lax.fori_loop(0, n_iter, body, (obj, est0))
+    if is_pair:
+        img_est = _pad_center(img_est, full_hw)
+    obj = obj[:, :n_depths]
 
     # zero depths outside the ROI (utils.py:736-737)
     lo = n_depths // 2 - roi_depths // 2

@@ -121,13 +121,6 @@ def spec_conj(spec):
     return jnp.conj(spec)
 
 
-def spec_slice_d(spec, sl):
-    """spec[:, sl] on the depth axis, either carrier."""
-    if isinstance(spec, SpecPair):
-        return SpecPair(spec.re[:, sl], spec.im[:, sl])
-    return spec[:, sl]
-
-
 def fftshift2d_real(x: jax.Array) -> jax.Array:
     """Reference batch_fftshift2d_real (utils.py:465-477): roll every spatial
     dim (2:) by n//2 (+1 for odd sizes)."""
@@ -157,17 +150,23 @@ def fft_conv(a: jax.Array, b_fft: jax.Array, full_hw) -> jax.Array:
     return fftshift2d_real(out)
 
 
-def _next_smooth_even(n: int) -> int:
-    """Smallest even integer >= n whose prime factors are all in {2, 3, 5}.
+def _next_smooth_same_parity(n: int) -> int:
+    """Smallest integer >= n with the SAME PARITY as n whose prime factors
+    are all in {2, 3, 5}.
 
     XLA's TPU FFT at sizes with a large prime factor falls off the
     mixed-radix fast path (the reference CLI's canvas 600 + 2160 = 2760 =
     2^3*3*5*23 exhausts HBM in the chirp-transform workspace at reference
-    scale).  Padding the linear-convolution canvas further is exact — the
-    support only needs obj+psf-1 and every offset below derives from
-    full_hw — so round up to a 5-smooth even size (2760 -> 2880: +9%
-    nominal FFT work for an asymptotically fast lowering)."""
-    m = n + (n % 2)
+    scale).  Growing the linear-convolution canvas is exact ONLY by an
+    even amount: every offset downstream (the _pad_center floor-halves,
+    the fftshift roll, the center crops) moves by exactly (m-n)/2 when
+    n -> m with m ≡ n (mod 2), so the composed pad->conv->roll->crop
+    index map is unchanged — whereas rounding an odd obj+psf canvas up to
+    an even size shifts the recentered convolution by one pixel
+    (regression-tested smooth-vs-exact).  Even canvases round 2760 ->
+    2880 (+9%); odd ones land on the sparser 3^a*5^b grid (e.g. a 2161^2
+    PSF with a 600^2 object: 2761 -> 3125, +13%)."""
+    m = n
     while True:
         k = m
         for p in (2, 3, 5):
@@ -184,9 +183,10 @@ def precompute_otf(psf: jax.Array, obj_hw, *, smooth: bool = True,
     (reference load_PSF_OTF via fft_conv's B branch, utils.py:503-510,617).
 
     psf: (1, D, P, P) with per-depth sum normalized.
-    smooth: round the canvas up to a 5-smooth even size (TPU FFT fast
-    path; exact — see _next_smooth_even).  smooth=False replays the
-    reference's exact obj+psf canvas (odd-width parity tests).
+    smooth: round the canvas up to a 5-smooth size of the same parity
+    (TPU FFT fast path; exact — see _next_smooth_same_parity).
+    smooth=False replays the reference's exact obj+psf canvas
+    (odd-width parity tests).
     depth_chunk: PSF depths transformed per FFT call — bounds the rfft2
     workspace (~8 GB for 120 planes of 2880^2 in one call).
     Returns (OTF complex64 (1, D, F0, F1//2+1), full_hw).
@@ -194,8 +194,8 @@ def precompute_otf(psf: jax.Array, obj_hw, *, smooth: bool = True,
     p_hw = psf.shape[-2:]
     full_hw = (obj_hw[0] + p_hw[0], obj_hw[1] + p_hw[1])
     if smooth:
-        full_hw = (_next_smooth_even(full_hw[0]),
-                   _next_smooth_even(full_hw[1]))
+        full_hw = (_next_smooth_same_parity(full_hw[0]),
+                   _next_smooth_same_parity(full_hw[1]))
     d = psf.shape[1]
     outs = []
     for j in range(0, d, depth_chunk):

@@ -17,8 +17,10 @@ precision (default HIGHEST — DFT matrices are dense rotations, and this
 JAX build truncates matmul inputs to bf16 at DEFAULT precision, which
 costs ~3 significant digits on a length-2880 transform).
 
-Canvas sizes from ops.fft_conv._next_smooth_even are 5-smooth and even,
-so a divisor A in [16, 128] always exists.  These functions are
+Canvas sizes from ops.fft_conv._next_smooth_same_parity are 5-smooth
+(even canvases by far the common case; odd obj+psf sums stay odd for
+exactness and factor as 3^a*5^b), so a usable divisor A <= 128 always
+exists at physics scales.  These functions are
 shape-generic and oracle-tested against numpy's FFT; on backends with a
 real FFT lowering prefer jnp.fft (fft_conv.rfft2/irfft2 dispatch on
 fft_conv.backend_has_fft).

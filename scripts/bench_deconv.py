@@ -26,14 +26,24 @@ from cwfa_tpu.ops.deconv import xlfm_deconvolve
 
 
 def main(argv):
-    n_its = [int(a) for a in argv if not a.startswith("--")] or [50, 100]
-    chunk = 30
-    repeats = 3
-    for a in argv:
-        if a.startswith("--chunk"):
-            chunk = int(a.split("=")[1])
-        if a.startswith("--repeats"):
-            repeats = int(a.split("=")[1])
+    n_its, chunk, repeats = [], 30, 3
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--chunk") or a.startswith("--repeats"):
+            if "=" in a:
+                val = int(a.split("=", 1)[1])
+            else:                      # space-separated form: --chunk 30
+                i += 1
+                val = int(argv[i])
+            if a.startswith("--chunk"):
+                chunk = val
+            else:
+                repeats = val
+        else:
+            n_its.append(int(a))
+        i += 1
+    n_its = [n for n in n_its if n > 0] or [50, 100]
 
     n_depths, psf_px, vol_px, img_px = 120, 2160, 600, 2160
 

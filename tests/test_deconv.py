@@ -133,6 +133,68 @@ def test_deconv_init_obj_chaining_identical():
                                rtol=1e-6, atol=1e-7)
 
 
+def test_smooth_canvas_exact_for_odd_obj_plus_psf(monkeypatch):
+    """The 5-smooth canvas rounding must preserve the canvas PARITY to be
+    exact: every downstream offset (pad_center floor-halves, fftshift
+    roll, center crops) moves by (m-n)/2 only when the canvas grows by an
+    even amount.  Rounding an odd obj+psf canvas to an even size shifted
+    the recentered forward projection by one pixel (regression; the even
+    configs agreed all along).  Checked on both spectrum carriers."""
+    d, s, p = 3, 15, 10                      # obj+psf = 25 (odd)
+    rng = np.random.RandomState(11)
+    psf = np.abs(rng.rand(1, d, p, p)).astype(np.float32)
+    psf /= psf.sum(axis=(-2, -1), keepdims=True)
+    vol = jnp.asarray(np.abs(rng.rand(1, d, s, s)).astype(np.float32))
+    for impl in ("xla", "gemm"):
+        monkeypatch.setenv("CWFA_FFT_IMPL", impl)
+        otf_s, hw_s = precompute_otf(jnp.asarray(psf), (s, s))
+        otf_e, hw_e = precompute_otf(jnp.asarray(psf), (s, s), smooth=False)
+        assert hw_e == (25, 25)
+        assert hw_s[0] % 2 == 1 and hw_s[0] >= 25    # odd stays odd
+        img_s = xlfm_forward_project(vol, otf_s, hw_s, psf_hw=(p, p))
+        img_e = xlfm_forward_project(vol, otf_e, hw_e, psf_hw=(p, p))
+        np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_e),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"forward mismatch ({impl})")
+        r_s, _ = xlfm_deconvolve(otf_s, img_e, n_iter=4, obj_hw=(s, s),
+                                 roi_depths=d, full_hw=hw_s)
+        r_e, _ = xlfm_deconvolve(otf_e, img_e, n_iter=4, obj_hw=(s, s),
+                                 roi_depths=d, full_hw=hw_e)
+        np.testing.assert_allclose(np.asarray(r_s), np.asarray(r_e),
+                                   rtol=2e-3, atol=2e-4,
+                                   err_msg=f"deconv mismatch ({impl})")
+
+
+def test_deconv_ragged_depth_chunk_matches(monkeypatch):
+    """A depth count with no divisor near the requested chunk zero-pads to
+    a whole slab instead of silently degrading the chunk to 1 (a prime
+    n_depths previously ran one 1-plane scan step per depth).  Pad depths
+    have zero OTF planes, so the result is exact; checked on both
+    carriers (the SpecPair path also exercises the window-sized img_est
+    loop carry)."""
+    d, s, p = 5, 16, 32                      # 5 is prime; chunk 3 -> pad 1
+    rng = np.random.RandomState(13)
+    psf = np.abs(rng.rand(1, d, p, p)).astype(np.float32)
+    psf /= psf.sum(axis=(-2, -1), keepdims=True)
+    vol = jnp.asarray(np.abs(rng.rand(1, d, s, s)).astype(np.float32))
+    for impl in ("xla", "gemm"):
+        monkeypatch.setenv("CWFA_FFT_IMPL", impl)
+        otf, full_hw = precompute_otf(jnp.asarray(psf), (s, s))
+        img = xlfm_forward_project(vol, otf, full_hw, psf_hw=(p, p))
+        r_full, e_full = xlfm_deconvolve(otf, img, n_iter=3, obj_hw=(s, s),
+                                         roi_depths=d, full_hw=full_hw)
+        r_rag, e_rag = xlfm_deconvolve(otf, img, n_iter=3, obj_hw=(s, s),
+                                       roi_depths=d, depth_chunk=3,
+                                       full_hw=full_hw)
+        assert r_rag.shape == (1, d, s, s)
+        np.testing.assert_allclose(np.asarray(r_rag), np.asarray(r_full),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"volume mismatch ({impl})")
+        np.testing.assert_allclose(np.asarray(e_rag), np.asarray(e_full),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"img_est mismatch ({impl})")
+
+
 def test_deconv_fourier_sum_matches_per_depth(monkeypatch):
     """``fourier_sum`` (default) sums the forward projection over depth in
     the Fourier domain, so ONE single-plane inverse transform replaces one
