@@ -45,9 +45,10 @@ def _pack_inverse_pairs() -> bool:
     return os.environ.get("CWFA_DECONV_PACK", "0") == "1"
 
 
-def _median_nonzero(x: jax.Array) -> jax.Array:
+def _median_nonzero_sort(x: jax.Array) -> jax.Array:
     """torch ``t[t!=0].median()`` — lower-middle element of the sorted nonzero
-    values (index (n-1)//2)."""
+    values (index (n-1)//2).  The direct (full-sort) form: the oracle for
+    :func:`_median_nonzero` and the dispatch for weird dtypes."""
     flat = x.reshape(-1)
     nz = flat != 0
     cnt = jnp.sum(nz)
@@ -55,6 +56,43 @@ def _median_nonzero(x: jax.Array) -> jax.Array:
     srt = jnp.sort(big)
     idx = jnp.maximum(cnt - 1, 0) // 2
     return jnp.where(cnt > 0, srt[idx], 0.0)
+
+
+def _median_nonzero(x: jax.Array) -> jax.Array:
+    """torch ``t[t!=0].median()`` as a 32-step binary search over the
+    order-preserving u32 transform of the f32 bits instead of a full sort
+    (XLA's sort is O(n log^2 n) comparator passes — measured 21 ms/iter
+    on the 4.7M-element RL ratio at reference CLI scale; 32 fused
+    compare-and-count reductions are ~10x cheaper).
+
+    The classic radix transform (negative: ~bits, else bits|0x8000_0000)
+    is strictly monotonic over all floats, so the k-th smallest ELEMENT
+    (k = (n-1)//2, the sort's lower-middle) is recovered exactly: descend
+    the bits keeping the largest prefix p with count(t < p) <= k.
+    Nonzero filtering maps zeros to the all-ones pattern (above every
+    transformed float except the max-payload NaN, which only arises when
+    the NaN-freeze is about to discard the update anyway).  Equivalence
+    vs the sort form is tested (duplicates/negatives/zeros/even/odd)."""
+    if x.dtype != jnp.float32:
+        return _median_nonzero_sort(x)
+    flat = x.reshape(-1)
+    nz = flat != 0
+    cnt = jnp.sum(nz)
+    k = jnp.maximum(cnt - 1, 0) // 2          # rank of the lower middle
+    bits = jax.lax.bitcast_convert_type(flat, jnp.uint32)
+    neg = bits >> 31
+    t = jnp.where(neg, ~bits, bits | jnp.uint32(0x80000000))
+    t = jnp.where(nz, t, jnp.uint32(0xFFFFFFFF))
+
+    def step(i, p):
+        cand = p | (jnp.uint32(1) << (31 - i))
+        # k-th smallest >= cand iff fewer than k+1 values lie below it
+        return jnp.where(jnp.sum(t < cand) <= k, cand, p)
+
+    p = jax.lax.fori_loop(0, 32, step, jnp.uint32(0))
+    orig = jnp.where(p >> 31, p ^ jnp.uint32(0x80000000), ~p)
+    val = jax.lax.bitcast_convert_type(orig, jnp.float32)
+    return jnp.where(cnt > 0, val, 0.0)
 
 
 @partial(jax.jit, static_argnames=("n_iter", "obj_hw", "roi_depths",

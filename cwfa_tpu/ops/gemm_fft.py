@@ -161,13 +161,18 @@ def irfft2_gemm_pair(xr, xi, s, precision=None):
     assert xr.shape[-1] == wr, (xr.shape, s)
     assert xr.shape[-2] == h, (xr.shape, s)
     xr, xi = _fft_axis(xr, xi, -2, inverse=True, precision=precision)
-    # Hermitian-extend the W spectrum: X[W-w'] = conj(X[w']) for
-    # w' in [1, W-Wr], then a full inverse DFT whose real part is the
-    # output (tail length W-Wr = Wr-2 for even W, Wr-1 for odd)
-    t = slice(1, w - wr + 1)
-    xr = jnp.concatenate([xr, xr[..., t][..., ::-1]], axis=-1)
-    xi = jnp.concatenate([xi, -xi[..., t][..., ::-1]], axis=-1)
-    yr, _ = fft_last(xr, xi, inverse=True, precision=precision)
+    # fold the real-output Hermitian symmetry into the W stage instead of
+    # materializing the conjugate tail (see irfft2_window_gemm_pair):
+    # out[m] = Re(sum_k c_k X_k W^{+mk}) over just the rfft bins,
+    # c_k = 2 except DC (and Nyquist for even W); the full inverse is the
+    # windowed inverse evaluated at [0, W)
+    ck = np.full(wr, 2.0, np.float32)
+    ck[0] = 1.0
+    if w % 2 == 0:
+        ck[wr - 1] = 1.0
+    ck = jnp.asarray(ck)
+    yr, _ = idft_window_last(xr * ck, xi * ck, 0, w, real_out=True,
+                             precision=precision, n=w)
     return yr / (h * w)
 
 
@@ -312,26 +317,40 @@ def _idft_window_mats(n: int, a: int, w0a: int, rows: int):
 
 
 def idft_window_last(xr, xi, w0: int, wl: int, *, real_out: bool = False,
-                     precision=None):
+                     precision=None, n: int | None = None):
     """Unscaled inverse DFT over the last axis, evaluated ONLY at output
     indices [w0, w0+wl) (any integers — the kernel is N-periodic, so a
     pre-roll crop window is expressed by passing its unrolled start).
 
-    xr/xi: complex spectrum as (re, im), full N bins on the last axis.
+    xr/xi: complex spectrum as (re, im), full N bins on the last axis —
+    or, with ``n`` given, only the LEADING bins of a length-``n``
+    transform whose tail is zero (the Hermitian-fold form: callers scale
+    the rfft bins by c_k and drop the conjugate tail — see
+    irfft2_window_gemm_pair).  Bins zero-pad up to whole k2 blocks and
+    stage 1 contracts only those blocks (~half the K for rfft bins).
     real_out: return just the real part (2 matmuls in stage 2).
     """
     if precision is None:
         precision = _default_precision()
-    n = xr.shape[-1]
+    nb = xr.shape[-1]
+    if n is None:
+        n = nb
+    assert nb <= n, (nb, n)
     a = _best_factor(n)
     b = n // a
+    bk = -(-nb // a)                    # k2 blocks holding nonzero bins
+    if bk * a != nb:
+        pads = [(0, 0)] * (xr.ndim - 1) + [(0, bk * a - nb)]
+        xr, xi = jnp.pad(xr, pads), jnp.pad(xi, pads)
     w0a = (w0 // b) * b                 # align the window start to B
     rows = -(-(w0 + wl - w0a) // b)
     f1r, f1i, f2r, f2i = map(jnp.asarray,
                              _idft_window_mats(n, a, w0a, rows))
+    if bk != b:
+        f1r, f1i = f1r[:, :bk], f1i[:, :bk]
     # flat k = k1 + A*k2 is k2-major: reshape to (..., k2, k1)
-    xr = xr.reshape(xr.shape[:-1] + (b, a))
-    xi = xi.reshape(xi.shape[:-1] + (b, a))
+    xr = xr.reshape(xr.shape[:-1] + (bk, a))
+    xi = xi.reshape(xi.shape[:-1] + (bk, a))
     ir, ii = _cmatmul(f1r, f1i, xr, xi, "mc,...ca->...ma", precision)
     dot = partial(jnp.einsum, "pam,...ma->...pm", precision=precision)
     yr = dot(f2r, ir) - dot(f2i, ii)
@@ -367,11 +386,12 @@ def irfft2_window_gemm_pair(xr, xi, s, h_win, w_win, precision=None,
     yr, yi = jnp.moveaxis(xr, -2, -1), jnp.moveaxis(xi, -2, -1)
     yr, yi = idft_window_last(yr, yi, h0u, hl, precision=precision)
     yr, yi = jnp.moveaxis(yr, -1, -2), jnp.moveaxis(yi, -1, -2)
-    # Hermitian-extend W bins (on hl rows only), then real-out W window
-    t = slice(1, w - wr + 1)
-    yr = jnp.concatenate([yr, yr[..., t][..., ::-1]], axis=-1)
-    yi = jnp.concatenate([yi, -yi[..., t][..., ::-1]], axis=-1)
     if pack_depth and xr.ndim >= 3 and xr.shape[-3] % 2 == 0:
+        # the packed complex inverse needs the full spectrum: Hermitian-
+        # extend the W bins (on hl rows only) before pairing planes
+        t = slice(1, w - wr + 1)
+        yr = jnp.concatenate([yr, yr[..., t][..., ::-1]], axis=-1)
+        yi = jnp.concatenate([yi, -yi[..., t][..., ::-1]], axis=-1)
         zr = yr[..., 0::2, :, :] - yi[..., 1::2, :, :]
         zi = yi[..., 0::2, :, :] + yr[..., 1::2, :, :]
         er, ei = idft_window_last(zr, zi, w0u, wl, real_out=False,
@@ -379,6 +399,19 @@ def irfft2_window_gemm_pair(xr, xi, s, h_win, w_win, precision=None,
         out = jnp.stack([er, ei], axis=-3)
         out = out.reshape(out.shape[:-4] + (xr.shape[-3], hl, wl))
         return out / (h * w)
-    out, _ = idft_window_last(yr, yi, w0u, wl, real_out=True,
-                              precision=precision)
+    # fold the real-output Hermitian symmetry into the W stage instead of
+    # materializing the conjugate tail: out[m] = Re(sum_k c_k X_k W^{+mk})
+    # over just the rfft bins, c_k = 2 except DC (and Nyquist for even W).
+    # Exact for spectra of real data — DC/Nyquist imaginary parts are f32
+    # roundoff and the real part discards them either way.  Stage 1 then
+    # contracts ~half the k2 blocks and the (..., hl, W) extension copy
+    # never exists (measured on the RL backward projection:
+    # docs/PERFORMANCE.md round-3, Hermitian fold).
+    ck = np.full(wr, 2.0, np.float32)
+    ck[0] = 1.0
+    if w % 2 == 0:
+        ck[wr - 1] = 1.0
+    ck = jnp.asarray(ck)
+    out, _ = idft_window_last(yr * ck, yi * ck, w0u, wl, real_out=True,
+                              precision=precision, n=w)
     return out / (h * w)

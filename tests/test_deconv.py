@@ -133,6 +133,28 @@ def test_deconv_init_obj_chaining_identical():
                                rtol=1e-6, atol=1e-7)
 
 
+def test_median_nonzero_bitsearch_matches_sort():
+    """The 32-step bit-descent median must return the EXACT element the
+    full-sort form picks (torch t[t!=0].median(), the lower-middle of the
+    sorted nonzeros) — duplicates, negatives, zeros, infs, even/odd
+    counts."""
+    from cwfa_tpu.ops.deconv import _median_nonzero, _median_nonzero_sort
+    rng = np.random.RandomState(3)
+    cases = [
+        (rng.randn(97) * 100).astype(np.float32),          # negatives, odd
+        (rng.randn(50) * 1e-3).astype(np.float32),         # even count
+        np.concatenate([np.zeros(10), rng.rand(50)]).astype(np.float32),
+        np.repeat(np.array([0.5, -2.0, 3.0, 3.0]), 7).astype(np.float32),
+        np.zeros(8, np.float32),                           # all zero -> 0
+        np.array([5.0], np.float32),
+        np.concatenate([rng.rand(64), [np.inf]]).astype(np.float32),
+    ]
+    for arr in cases:
+        got = float(_median_nonzero(jnp.asarray(arr)))
+        want = float(_median_nonzero_sort(jnp.asarray(arr)))
+        assert got == want, (arr[:8], got, want)
+
+
 def test_smooth_canvas_exact_for_odd_obj_plus_psf(monkeypatch):
     """The 5-smooth canvas rounding must preserve the canvas PARITY to be
     exact: every downstream offset (pad_center floor-halves, fftshift
