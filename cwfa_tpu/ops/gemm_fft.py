@@ -47,6 +47,13 @@ def _default_precision():
             "highest": jax.lax.Precision.HIGHEST}[name]
 
 
+def _dense_enabled() -> bool:
+    """Kill switch for the dense minor-axis window stages (A/B rigs):
+    CWFA_GEMM_FFT_DENSE=0 forces the four-step form everywhere."""
+    import os
+    return os.environ.get("CWFA_GEMM_FFT_DENSE", "1") != "0"
+
+
 def _best_factor(n: int) -> int:
     """Largest divisor of n that is <= 128 (A of the four-step split)."""
     best = 1
@@ -207,8 +214,19 @@ def _stage1_window_mats(n: int, a: int, a0: int, rows: int):
             (-np.sin(ang)).astype(np.float32))
 
 
+@lru_cache(maxsize=64)
+def _dense_window_fwd_mats(n: int, i0: int, il: int, out_len: int):
+    """Single-GEMM windowed forward DFT matrix
+    F[k, j] = exp(-2j*pi*k*(i0+j)/n), k < out_len, j < il."""
+    k = np.arange(out_len)[:, None]
+    j = i0 + np.arange(il)[None, :]
+    ang = 2.0 * np.pi * k * j / n
+    return (np.cos(ang).astype(np.float32),
+            (-np.sin(ang)).astype(np.float32))
+
+
 def fft_last_window(xr, xi, i0: int, n: int, *, out_len: int | None = None,
-                    precision=None):
+                    precision=None, dense: bool | None = None):
     """Forward DFT over the LAST axis of a length-``n`` signal that is zero
     outside ``[i0, i0+il)``, given only the window (``il = xr.shape[-1]``).
 
@@ -216,11 +234,28 @@ def fft_last_window(xr, xi, i0: int, n: int, *, out_len: int | None = None,
     GEMM contracts only the ~il/B input rows overlapping the window and
     the pad is never materialized.  xi=None for real input; out_len as in
     :func:`fft_last`.
+
+    dense: emit ONE (out_len x il) GEMM instead of the two four-step
+    stages.  ~6x the MACs at reference deconv scale, yet measured FASTER
+    on the input's MINOR axis for real input (29.3 -> 26.7 ms per
+    30-depth slab of the 600-in-2880 RL object transform on v5e: full
+    128-wide MXU tiles and no (A, B) reshape/relayout passes beat the
+    MAC count; the same dense form on the moved-from-H axis LOSES,
+    32.5 vs 29.3 — scripts/bench_gemm_fft_forms.py).  Default (None):
+    dense exactly for that measured winner — real input on a window
+    <= n/2 (the wide-window guard below already owns the rest) — unless
+    CWFA_GEMM_FFT_DENSE=0.
     """
     if precision is None:
         precision = _default_precision()
     il = xr.shape[-1]
     assert 0 <= i0 and i0 + il <= n, (i0, il, n)
+    if dense is None:
+        dense = xi is None and 2 * il <= n and _dense_enabled()
+    if dense:
+        out = n if out_len is None else out_len
+        fr, fi = map(jnp.asarray, _dense_window_fwd_mats(n, i0, il, out))
+        return _cmatmul(fr, fi, xr, xi, "ka,...a->...k", precision)
     if 2 * il > n:
         # wide windows don't pay: stage-1 K-pruning buys no MXU time
         # (K < 128 pads to one pass either way) and the aligned-window
@@ -316,8 +351,20 @@ def _idft_window_mats(n: int, a: int, w0a: int, rows: int):
             np.cos(ang2).astype(np.float32), np.sin(ang2).astype(np.float32))
 
 
+@lru_cache(maxsize=64)
+def _dense_idft_window_mats(n: int, w0: int, wl: int, nb: int):
+    """Single-GEMM windowed inverse DFT matrix
+    F[m, k] = exp(+2j*pi*(w0+m)*k/n), m < wl, over the nb leading bins."""
+    m = np.arange(w0, w0 + wl)[:, None]
+    k = np.arange(nb)[None, :]
+    ang = 2.0 * np.pi * m * k / n
+    return (np.cos(ang).astype(np.float32),
+            np.sin(ang).astype(np.float32))
+
+
 def idft_window_last(xr, xi, w0: int, wl: int, *, real_out: bool = False,
-                     precision=None, n: int | None = None):
+                     precision=None, n: int | None = None,
+                     dense: bool | None = None):
     """Unscaled inverse DFT over the last axis, evaluated ONLY at output
     indices [w0, w0+wl) (any integers — the kernel is N-periodic, so a
     pre-roll crop window is expressed by passing its unrolled start).
@@ -329,6 +376,13 @@ def idft_window_last(xr, xi, w0: int, wl: int, *, real_out: bool = False,
     irfft2_window_gemm_pair).  Bins zero-pad up to whole k2 blocks and
     stage 1 contracts only those blocks (~half the K for rfft bins).
     real_out: return just the real part (2 matmuls in stage 2).
+    dense: ONE (wl x nb) GEMM instead of the two four-step stages —
+    measured FASTER for the real-output minor-axis stage at reference
+    deconv scale (24.9 -> 21.3 ms per 30-depth slab of the 600-of-2880
+    windowed RL back-projection on v5e; the moved-from-H complex stage
+    LOSES, 29.1 vs 24.9 — scripts/bench_gemm_fft_forms.py).  Default
+    (None): dense exactly for that winner — real_out on a window
+    <= n/2 — unless CWFA_GEMM_FFT_DENSE=0.
     """
     if precision is None:
         precision = _default_precision()
@@ -336,6 +390,14 @@ def idft_window_last(xr, xi, w0: int, wl: int, *, real_out: bool = False,
     if n is None:
         n = nb
     assert nb <= n, (nb, n)
+    if dense is None:
+        dense = real_out and 2 * wl <= n and _dense_enabled()
+    if dense:
+        fr, fi = map(jnp.asarray, _dense_idft_window_mats(n, w0, wl, nb))
+        dot = partial(jnp.einsum, "mk,...k->...m", precision=precision)
+        yr = dot(fr, xr) - dot(fi, xi)
+        yi = None if real_out else dot(fr, xi) + dot(fi, xr)
+        return yr, yi
     a = _best_factor(n)
     b = n // a
     bk = -(-nb // a)                    # k2 blocks holding nonzero bins

@@ -132,29 +132,36 @@ def test_forward_project_chunked_pair(monkeypatch):
 ])
 def test_fft_last_window_oracle(n, i0, il):
     """Windowed-input DFT == DFT of the zero-padded signal, real and
-    complex inputs, with and without rfft out_len truncation."""
+    complex inputs, with and without rfft out_len truncation — in BOTH
+    stage forms (four-step and dense single-GEMM) plus the auto pick."""
     rng = np.random.RandomState(4)
     x = rng.randn(2, il).astype(np.float32)
     pad = np.zeros((2, n), np.float32)
     pad[:, i0:i0 + il] = x
     want = np.fft.fft(pad)
-    yr, yi = gf.fft_last_window(jnp.asarray(x), None, i0, n)
-    got = np.asarray(yr) + 1j * np.asarray(yi)
-    assert np.abs(got - want).max() <= 2e-5 * np.abs(want).max()
+    for dense in (None, True, False):
+        yr, yi = gf.fft_last_window(jnp.asarray(x), None, i0, n, dense=dense)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert np.abs(got - want).max() <= 2e-5 * np.abs(want).max(), dense
     # complex input (the H pass of rfft2_window_input)
     xi = rng.randn(2, il).astype(np.float32)
     padi = np.zeros((2, n), np.float32)
     padi[:, i0:i0 + il] = xi
     wantc = np.fft.fft(pad + 1j * padi)
-    yr, yi = gf.fft_last_window(jnp.asarray(x), jnp.asarray(xi), i0, n)
-    gotc = np.asarray(yr) + 1j * np.asarray(yi)
-    assert np.abs(gotc - wantc).max() <= 2e-5 * np.abs(wantc).max()
+    for dense in (None, True, False):
+        yr, yi = gf.fft_last_window(jnp.asarray(x), jnp.asarray(xi), i0, n,
+                                    dense=dense)
+        gotc = np.asarray(yr) + 1j * np.asarray(yi)
+        assert np.abs(gotc - wantc).max() <= 2e-5 * np.abs(wantc).max(), dense
     # out_len truncation (the rfft bin cut)
     keep = n // 2 + 1
-    yr, yi = gf.fft_last_window(jnp.asarray(x), None, i0, n, out_len=keep)
-    got = np.asarray(yr) + 1j * np.asarray(yi)
-    assert got.shape[-1] == keep
-    assert np.abs(got - want[:, :keep]).max() <= 2e-5 * np.abs(want).max()
+    for dense in (None, True, False):
+        yr, yi = gf.fft_last_window(jnp.asarray(x), None, i0, n,
+                                    out_len=keep, dense=dense)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert got.shape[-1] == keep
+        assert np.abs(got - want[:, :keep]).max() \
+            <= 2e-5 * np.abs(want).max(), dense
 
 
 @pytest.mark.parametrize("h,w,hi,wi,off", [
@@ -189,6 +196,34 @@ def test_rfft2_padded_dispatch(monkeypatch):
     assert isinstance(got_g, SpecPair)
     got_g = np.asarray(got_g.re) + 1j * np.asarray(got_g.im)
     assert np.abs(got_g - want).max() <= 2e-5 * np.abs(want).max()
+
+
+@pytest.mark.parametrize("n,nb,w0,wl,real_out", [
+    (180, 91, -17, 60, True),    # Hermitian-fold bins, pre-roll start
+    (180, 180, 37, 81, False),   # full spectrum, complex out
+    (96, 49, 0, 40, True),
+])
+def test_idft_window_last_forms(n, nb, w0, wl, real_out):
+    """The dense single-GEMM windowed inverse == the four-step form ==
+    numpy (leading-bin zero-tail semantics), both output flavors."""
+    rng = np.random.RandomState(7)
+    xr = rng.randn(2, nb).astype(np.float32)
+    xi = rng.randn(2, nb).astype(np.float32)
+    spec = np.zeros((2, n), np.complex64)
+    spec[:, :nb] = xr + 1j * xi
+    full = np.fft.ifft(spec) * n                      # unscaled inverse
+    want = full[:, (np.arange(w0, w0 + wl)) % n]
+    outs = []
+    for dense in (None, True, False):
+        yr, yi = gf.idft_window_last(jnp.asarray(xr), jnp.asarray(xi),
+                                     w0, wl, real_out=real_out, n=n,
+                                     dense=dense)
+        got = np.asarray(yr) + (0 if real_out else 1j * np.asarray(yi))
+        ref = want.real if real_out else want
+        assert np.abs(got - ref).max() <= 2e-5 * np.abs(want).max(), dense
+        outs.append(got)
+    # auto == one of the pinned forms exactly (dispatch, not new math)
+    assert any(np.array_equal(outs[0], o) for o in outs[1:])
 
 
 @pytest.mark.parametrize("h,w,h_win,w_win", [
