@@ -55,7 +55,20 @@ def _dense_enabled() -> bool:
 
 
 def _best_factor(n: int) -> int:
-    """Largest divisor of n that is <= 128 (A of the four-step split)."""
+    """Largest divisor of n that is <= 128 (A of the four-step split).
+
+    CWFA_GEMM_FFT_FACTOR overrides the pick for A/B sweeps (used only
+    when it divides n and fits the MXU contraction width).  The n=2880
+    sweep at reference RL scale (v5e, bench_gemm_fft_forms --shipped)
+    confirmed the default: A=120 fwd 26.5 / inv 21.3 ms/slab; A=72 ties
+    within noise (26.4/21.1); every other divisor in [48, 96] is 2-50%
+    worse (A=60/90 inverse chains degrade ~50%)."""
+    import os
+    ov = os.environ.get("CWFA_GEMM_FFT_FACTOR")
+    if ov:
+        a = int(ov)
+        if 1 < a <= 128 and n % a == 0:
+            return a
     best = 1
     for a in range(2, min(n, 128) + 1):
         if n % a == 0:
@@ -91,11 +104,34 @@ def _stage1_mats(n: int, a: int, inverse: bool):
             (sign * np.sin(ang)).astype(np.float32))
 
 
+def _karatsuba_enabled() -> bool:
+    """Gauss 3-multiplication complex GEMMs (CWFA_GEMM_FFT_KARATSUBA,
+    read at trace time).  re = FrXr - FiXi is unchanged; im is computed
+    as (Fr+Fi)(xr+xi) - FrXr - FiXi — 3 dots instead of 4 (the F-side
+    sum is a constant XLA folds; the x-side sum is one VPU pass).  The
+    im part picks up cancellation roundoff ~eps*|t3| instead of
+    eps*(|FrXi|+|FiXr|) — same error class, slightly larger constant
+    (oracle error stays at f32 roundoff).
+
+    Measured SLOWER on the shipped RL chains (v5e, reference CLI
+    shapes, scripts/bench_gemm_fft_forms.py --shipped): fwd 26.5 ->
+    29.7, inv 21.3 -> 25.8 ms/slab — the extra (xr+xi) intermediate and
+    the lost operand sharing between dot(fr,·)/dot(fi,·) pairs outweigh
+    the 25% MAC cut on these traffic-heavy stages.  Default OFF; the
+    flag stays as the A/B rig."""
+    import os
+    return os.environ.get("CWFA_GEMM_FFT_KARATSUBA", "0") == "1"
+
+
 def _cmatmul(fr, fi, xr, xi, spec, precision):
     """Complex contraction einsum(spec, F, x): (Fr + iFi)(xr + ixi)."""
     dot = partial(jnp.einsum, spec, precision=precision)
     if xi is None:                       # real input: 2 matmuls
         return dot(fr, xr), dot(fi, xr)
+    if _karatsuba_enabled():
+        t1, t2 = dot(fr, xr), dot(fi, xi)
+        t3 = dot(fr + fi, xr + xi)
+        return t1 - t2, t3 - t1 - t2
     return (dot(fr, xr) - dot(fi, xi),
             dot(fr, xi) + dot(fi, xr))
 
@@ -415,8 +451,10 @@ def idft_window_last(xr, xi, w0: int, wl: int, *, real_out: bool = False,
     xi = xi.reshape(xi.shape[:-1] + (bk, a))
     ir, ii = _cmatmul(f1r, f1i, xr, xi, "mc,...ca->...ma", precision)
     dot = partial(jnp.einsum, "pam,...ma->...pm", precision=precision)
-    yr = dot(f2r, ir) - dot(f2i, ii)
-    yi = None if real_out else dot(f2r, ii) + dot(f2i, ir)
+    if real_out:
+        yr, yi = dot(f2r, ir) - dot(f2i, ii), None
+    else:
+        yr, yi = _cmatmul(f2r, f2i, ir, ii, "pam,...ma->...pm", precision)
     out_shape = yr.shape[:-2] + (rows * b,)
     sl = slice(w0 - w0a, w0 - w0a + wl)
     yr = yr.reshape(out_shape)[..., sl]

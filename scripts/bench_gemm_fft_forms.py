@@ -22,6 +22,8 @@ Variants per transform (all exact, HIGHEST precision):
     dense2  dense both
 
 Usage: python scripts/bench_gemm_fft_forms.py [--reps 10] [--check]
+         [--shipped]   (time only the shipped fwd/inv chains — for
+                        CWFA_GEMM_FFT_FACTOR four-step (A,B) sweeps)
 """
 
 import sys
@@ -180,6 +182,17 @@ def main(argv):
         lib = irfft2_window_gemm_pair(sr, si, (N, N), (H0, VOL), (W0, VOL),
                                       precision=PREC)
         print(f"inv ct/ct vs library: {float(jnp.max(jnp.abs(lib-ref))):.3e}")
+        return
+
+    if "--shipped" in argv:
+        import os
+        fac = os.environ.get("CWFA_GEMM_FFT_FACTOR", "(auto)")
+        print(f"-- shipped chains only, four-step factor A={fac}")
+        timeit(jax.jit(partial(fwd, wform="dense", hform="ct")), (x,), reps,
+               f"fwd W=dense H=ct A={fac}")
+        sr, si = jax.jit(partial(fwd, wform="ct", hform="ct"))(x)
+        timeit(jax.jit(partial(inv, hform="ct", wform="dense")), (sr, si),
+               reps, f"inv H=ct W=dense A={fac}")
         return
 
     print("-- forward (1,30,600,600) -> (1,30,2880,1441)")

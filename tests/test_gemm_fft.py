@@ -258,3 +258,33 @@ def test_irfft2_window_oracle(h, w, h_win, w_win):
         jnp.asarray(spec4.real), jnp.asarray(spec4.imag), (h, w),
         h_win, w_win, pack_depth=True))
     assert np.abs(packed - want4).max() <= 2e-5 * (np.abs(want4).max() + 1e-9)
+
+
+def test_karatsuba_cmatmul_oracle(monkeypatch):
+    """CWFA_GEMM_FFT_KARATSUBA=1 (Gauss 3-dot complex GEMMs — measured
+    slower on v5e, kept as an A/B rig) stays exact to f32 roundoff on
+    both shipped chains and on the factor-override path."""
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 3, 60, 60).astype(np.float32)
+    s = (144, 144)
+    xp = np.zeros((2, 3) + s, np.float32)
+    xp[:, :, 42:102, 42:102] = x
+    want = np.fft.rfft2(xp)
+    spec = np.fft.rfft2(rng.randn(2, 3, *s).astype(np.float32))
+    from cwfa_tpu.ops.fft_conv import fftshift2d_real
+    full = np.asarray(fftshift2d_real(jnp.asarray(
+        np.fft.irfft2(spec, s=s).astype(np.float32))))
+    want_inv = full[:, :, 30:90, 40:90]
+    monkeypatch.setenv("CWFA_GEMM_FFT_KARATSUBA", "1")
+    for factor in (None, "48"):         # dense-W + four-step-H; override A
+        if factor:
+            monkeypatch.setenv("CWFA_GEMM_FFT_FACTOR", factor)
+        yr, yi = gf.rfft2_window_input_gemm_pair(jnp.asarray(x), s)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert np.abs(got - want).max() <= 2e-5 * np.abs(want).max()
+        got_inv = np.asarray(gf.irfft2_window_gemm_pair(
+            jnp.asarray(spec.real.astype(np.float32)),
+            jnp.asarray(spec.imag.astype(np.float32)),
+            s, (30, 60), (40, 50)))
+        assert np.abs(got_inv - want_inv).max() <= \
+            2e-5 * (np.abs(want_inv).max() + 1e-9)
