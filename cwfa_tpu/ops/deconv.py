@@ -58,12 +58,15 @@ def _median_nonzero_sort(x: jax.Array) -> jax.Array:
     return jnp.where(cnt > 0, srt[idx], 0.0)
 
 
-def _median_nonzero(x: jax.Array) -> jax.Array:
-    """torch ``t[t!=0].median()`` as a 32-step binary search over the
+def _median_nonzero_batch(x: jax.Array) -> jax.Array:
+    """Per-sample torch ``t[t!=0].median()`` over the leading batch axis
+    — shape (B, ...) -> (B,) — as a 32-step binary search over the
     order-preserving u32 transform of the f32 bits instead of a full sort
     (XLA's sort is O(n log^2 n) comparator passes — measured 21 ms/iter
     on the 4.7M-element RL ratio at reference CLI scale; 32 fused
-    compare-and-count reductions are ~10x cheaper).
+    compare-and-count reductions are ~10x cheaper).  Per-sample because
+    batched deconvolution must match B independent reference runs: the
+    RL ratio clamp (utils.py:701-703) is a per-frame statistic.
 
     The classic radix transform (negative: ~bits, else bits|0x8000_0000)
     is strictly monotonic over all floats, so the k-th smallest ELEMENT
@@ -73,11 +76,12 @@ def _median_nonzero(x: jax.Array) -> jax.Array:
     transformed float except the max-payload NaN, which only arises when
     the NaN-freeze is about to discard the update anyway).  Equivalence
     vs the sort form is tested (duplicates/negatives/zeros/even/odd)."""
+    b = x.shape[0]
     if x.dtype != jnp.float32:
-        return _median_nonzero_sort(x)
-    flat = x.reshape(-1)
+        return jax.vmap(_median_nonzero_sort)(x.reshape(b, -1))
+    flat = x.reshape(b, -1)
     nz = flat != 0
-    cnt = jnp.sum(nz)
+    cnt = jnp.sum(nz, axis=1)
     k = jnp.maximum(cnt - 1, 0) // 2          # rank of the lower middle
     bits = jax.lax.bitcast_convert_type(flat, jnp.uint32)
     neg = bits >> 31
@@ -87,12 +91,18 @@ def _median_nonzero(x: jax.Array) -> jax.Array:
     def step(i, p):
         cand = p | (jnp.uint32(1) << (31 - i))
         # k-th smallest >= cand iff fewer than k+1 values lie below it
-        return jnp.where(jnp.sum(t < cand) <= k, cand, p)
+        below = jnp.sum(t < cand[:, None], axis=1)
+        return jnp.where(below <= k, cand, p)
 
-    p = jax.lax.fori_loop(0, 32, step, jnp.uint32(0))
+    p = jax.lax.fori_loop(0, 32, step, jnp.zeros((b,), jnp.uint32))
     orig = jnp.where(p >> 31, p ^ jnp.uint32(0x80000000), ~p)
     val = jax.lax.bitcast_convert_type(orig, jnp.float32)
     return jnp.where(cnt > 0, val, 0.0)
+
+
+def _median_nonzero(x: jax.Array) -> jax.Array:
+    """Scalar form of :func:`_median_nonzero_batch` (whole-array median)."""
+    return _median_nonzero_batch(x.reshape(1, -1))[0]
 
 
 @partial(jax.jit, static_argnames=("n_iter", "obj_hw", "roi_depths",
@@ -251,7 +261,10 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
                 else jnp.zeros_like(img_exp)
             est, _ = jax.lax.scan(fwd, est0, (_chunked(obj), otf_scan))
         ratio = (img_f if is_pair else img_exp) / (est + 1e-8)
-        limit = _median_nonzero(ratio) * update_median_limit_multiplier
+        # per-frame clamp limit: batched deconvolution == B independent
+        # reference runs (the median is a per-frame statistic)
+        limit = (_median_nonzero_batch(ratio).reshape(-1, 1, 1, 1)
+                 * update_median_limit_multiplier)
         ratio = jnp.clip(ratio, 0.0, limit)
         if is_pair:
             # the ratio is exactly 0 outside the camera support (as
@@ -291,8 +304,9 @@ def xlfm_deconvolve(otf: jax.Array, img: jax.Array, n_iter: int,
         _, new_c = jax.lax.scan(bwd, None, (_chunked(obj), otf_scan))
         new_obj = jnp.swapaxes(new_c, 0, 1).reshape(
             b_sz, d_total, *obj_hw)
-        # NaN-freeze instead of the reference's host-side loop break
-        bad = jnp.any(jnp.isnan(ratio))
+        # NaN-freeze instead of the reference's host-side loop break —
+        # per frame, so one bad frame never freezes its batch-mates
+        bad = jnp.any(jnp.isnan(ratio), axis=(1, 2, 3), keepdims=True)
         new_obj = jnp.where(bad, obj, new_obj)
         return new_obj, est
 
@@ -369,7 +383,8 @@ def xlfm_deconvolve_sharded(mesh, otf, img, n_iter: int, obj_hw=(512, 512),
             img_est = jax.nn.relu(fftshift2d_real(
                 irfft2(spec_g, s=full_hw)))
             ratio = img_exp / (img_est + 1e-8)
-            limit = _median_nonzero(ratio) * mult
+            limit = (_median_nonzero_batch(ratio).reshape(-1, 1, 1, 1)
+                     * mult)
             ratio = jnp.clip(ratio, 0.0, limit)
             # crop-before-multiply: see xlfm_deconvolve's body
             prod = spec_mul(rfft2(ratio), otf_t)
@@ -384,7 +399,7 @@ def xlfm_deconvolve_sharded(mesh, otf, img, n_iter: int, obj_hw=(512, 512),
                     :, :, pad_h:pad_h + obj_hw[0],
                     pad_w:pad_w + obj_hw[1]]
             new_obj = obj * corr
-            bad = jnp.any(jnp.isnan(ratio))
+            bad = jnp.any(jnp.isnan(ratio), axis=(1, 2, 3), keepdims=True)
             return jnp.where(bad, obj, new_obj), img_est
 
         obj, img_est = jax.lax.fori_loop(

@@ -8,6 +8,14 @@ CLI's exact shapes: camera/PSF 2160^2, volume 600x600x120 -> FFT canvas
 2760^2 x 120 depths (load_psf_otf pads to vol+psf, data/psf.py).
 
 Usage: python scripts/bench_deconv.py [n_it ...] [--chunk N] [--repeats N]
+         [--batch B]   (frames deconvolved together, reported as s/frame.
+                        MEASURED NEGATIVE on v5e: batch 2 = 200.7 ms/iter
+                        /frame vs 181.9 at batch 1 (199.1 at chunk 15) —
+                        the hoped-for 4 GB OTF-read amortization in the
+                        spectral multiplies is already hidden by XLA's
+                        scheduling, and doubling the per-slab transform
+                        working set degrades superlinearly.  Deconvolve
+                        frames one at a time; the flag stays as the rig.)
 
 Timing uses the enqueue-N/fetch-tiny-slice barrier (engine/inference.py
 throughput discipline): block_until_ready is unreliable through the axon
@@ -26,11 +34,11 @@ from cwfa_tpu.ops.deconv import xlfm_deconvolve
 
 
 def main(argv):
-    n_its, chunk, repeats = [], 30, 3
+    n_its, chunk, repeats, batch = [], 30, 3, 1
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--chunk") or a.startswith("--repeats"):
+        if a.startswith(("--chunk", "--repeats", "--batch")):
             if "=" in a:
                 val = int(a.split("=", 1)[1])
             else:                      # space-separated form: --chunk 30
@@ -38,6 +46,8 @@ def main(argv):
                 val = int(argv[i])
             if a.startswith("--chunk"):
                 chunk = val
+            elif a.startswith("--batch"):
+                batch = val
             else:
                 repeats = val
         else:
@@ -74,7 +84,7 @@ def main(argv):
           flush=True)
     del psf
     img_d = jax.device_put(
-        np.random.RandomState(0).rand(1, 1, img_px, img_px)
+        np.random.RandomState(0).rand(batch, 1, img_px, img_px)
         .astype(np.float32) * 100.0)
 
     for n_it in n_its:
@@ -104,8 +114,8 @@ def main(argv):
         for _ in range(repeats):
             vol, _ = run()
         _ = np.asarray(vol[0, 0, 0, :4])
-        dt = (time.perf_counter() - t0) / repeats
-        print(f"n_it={n_it:4d}: {dt:7.2f} s/frame "
+        dt = (time.perf_counter() - t0) / repeats / batch
+        print(f"n_it={n_it:4d} batch={batch}: {dt:7.2f} s/frame "
               f"({dt / n_it * 1e3:6.1f} ms/iter, first+compile "
               f"{t_first:.1f} s)  vs reference GPU ~60 s at 100 it",
               flush=True)

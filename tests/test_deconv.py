@@ -245,3 +245,83 @@ def test_deconv_fourier_sum_matches_per_depth(monkeypatch):
         np.testing.assert_allclose(np.asarray(e_fs), np.asarray(e_pd),
                                    rtol=5e-4, atol=5e-5,
                                    err_msg=f"img_est mismatch ({impl})")
+
+def test_median_nonzero_batch_is_per_sample():
+    """_median_nonzero_batch computes one median PER LEADING-AXIS SAMPLE
+    (the RL clamp is a per-frame statistic, utils.py:701-703) — each row
+    must equal the scalar form applied to that row alone."""
+    from cwfa_tpu.ops.deconv import _median_nonzero, _median_nonzero_batch
+    rng = np.random.RandomState(17)
+    rows = np.stack([
+        (rng.randn(81) * 100).astype(np.float32),
+        np.concatenate([np.zeros(40), rng.rand(41)]).astype(np.float32),
+        np.zeros(81, np.float32),
+        (rng.rand(81) * 1e-3).astype(np.float32),
+    ])
+    got = np.asarray(_median_nonzero_batch(jnp.asarray(rows)))
+    want = np.array([float(_median_nonzero(jnp.asarray(r))) for r in rows])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_deconv_batched_matches_independent_runs(monkeypatch):
+    """Batch-B deconvolution must equal B independent batch-1 runs — the
+    per-frame median clamp is the load-bearing part (frames at different
+    intensity scales have different clamp limits; a batch-global median
+    couples them).  Checked on both spectrum carriers."""
+    d, s, p = 3, 16, 32
+    rng = np.random.RandomState(19)
+    psf = np.abs(rng.rand(1, d, p, p)).astype(np.float32)
+    psf /= psf.sum(axis=(-2, -1), keepdims=True)
+    # two frames at wildly different scales -> different clamp medians
+    vol_a = np.abs(rng.rand(1, d, s, s)).astype(np.float32)
+    vol_b = (np.abs(rng.rand(1, d, s, s)) * 250.0).astype(np.float32)
+    vol_b[0, :, 4:, :] = 0.0                 # sparse: clamp actually bites
+    for impl in ("xla", "gemm"):
+        monkeypatch.setenv("CWFA_FFT_IMPL", impl)
+        otf, full_hw = precompute_otf(jnp.asarray(psf), (s, s))
+        img_a = xlfm_forward_project(jnp.asarray(vol_a), otf, full_hw,
+                                     psf_hw=(p, p))
+        img_b = xlfm_forward_project(jnp.asarray(vol_b), otf, full_hw,
+                                     psf_hw=(p, p))
+        img_ab = jnp.concatenate([img_a, img_b], axis=0)
+        r_ab, e_ab = xlfm_deconvolve(otf, img_ab, n_iter=6, obj_hw=(s, s),
+                                     roi_depths=d, full_hw=full_hw)
+        r_a, e_a = xlfm_deconvolve(otf, img_a, n_iter=6, obj_hw=(s, s),
+                                   roi_depths=d, full_hw=full_hw)
+        r_b, e_b = xlfm_deconvolve(otf, img_b, n_iter=6, obj_hw=(s, s),
+                                   roi_depths=d, full_hw=full_hw)
+        np.testing.assert_allclose(np.asarray(r_ab[:1]), np.asarray(r_a),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"frame A mismatch ({impl})")
+        np.testing.assert_allclose(np.asarray(r_ab[1:]), np.asarray(r_b),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"frame B mismatch ({impl})")
+        np.testing.assert_allclose(np.asarray(e_ab[:1]), np.asarray(e_a),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(e_ab[1:]), np.asarray(e_b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_deconv_nan_freeze_is_per_frame():
+    """A NaN in one frame freezes THAT frame's updates only — its
+    batch-mates must keep iterating exactly as in their solo runs."""
+    d, s, p = 2, 16, 32
+    rng = np.random.RandomState(23)
+    psf = np.abs(rng.rand(1, d, p, p)).astype(np.float32)
+    psf /= psf.sum(axis=(-2, -1), keepdims=True)
+    otf, full_hw = precompute_otf(jnp.asarray(psf), (s, s))
+    vol = np.abs(rng.rand(1, d, s, s)).astype(np.float32)
+    img_good = xlfm_forward_project(jnp.asarray(vol), otf, full_hw,
+                                    psf_hw=(p, p))
+    img_bad = np.asarray(img_good).copy()
+    img_bad[0, 0, 3, 3] = np.nan
+    img_ab = jnp.concatenate([jnp.asarray(img_bad), img_good], axis=0)
+    r_ab, _ = xlfm_deconvolve(otf, img_ab, n_iter=5, obj_hw=(s, s),
+                              roi_depths=d, full_hw=full_hw)
+    r_good, _ = xlfm_deconvolve(otf, img_good, n_iter=5, obj_hw=(s, s),
+                                roi_depths=d, full_hw=full_hw)
+    # frozen frame stays at the (ROI-masked) ones init
+    np.testing.assert_array_equal(np.asarray(r_ab[0]),
+                                  np.ones((d, s, s), np.float32))
+    np.testing.assert_allclose(np.asarray(r_ab[1:]), np.asarray(r_good),
+                               rtol=1e-6, atol=1e-7)
