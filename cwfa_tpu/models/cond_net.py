@@ -269,6 +269,15 @@ def _conv3d_pair(params, out, act, drop, rng, impl: str = "auto"):
     """Pick the 3-D pair formulation: the banded-dense form's D/3x FLOP
     blowup loses to the depth-in-batch direct form once D is large (measured
     crossover ~D=24 on v5e; all are numerics-identical)."""
+    import os
+    if os.environ.get("CWFA_COND_PAIR_DTYPE") == "bf16" \
+            and out.dtype == jnp.float32:
+        # A/B rig: run the whole HBM-bound pair (incl. the ~32x y
+        # intermediate) in bf16 storage — the int8 y experiment was
+        # requant-neutral; this tests the cast-free half-byte variant.
+        z = _conv3d_pair(params, out.astype(jnp.bfloat16), act, drop, rng,
+                         impl)
+        return z.astype(jnp.float32)
     if impl == "auto":
         # Round-2 re-measurement (scripts/profile_cond.py, batch 8): the
         # depth-in-batch form wins at EVERY step depth (D=48: 4.1 vs
