@@ -62,6 +62,8 @@ def main():
         what="bench total runtime")
     print(f"# backend up: {n_dev} device(s), platform "
           f"{jax.devices()[0].platform}", file=sys.stderr)
+    from cwfa_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()     # warm driver re-runs skip remote compiles
     import jax.numpy as jnp
 
     from cwfa_tpu.engine.inference import XLFMReconstructor

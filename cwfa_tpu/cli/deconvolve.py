@@ -56,6 +56,8 @@ def build_parser():
 
 def main(argv=None):
     import jax.numpy as jnp
+    from cwfa_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
 
     stack_path = os.path.join(

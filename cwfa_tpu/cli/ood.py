@@ -28,6 +28,8 @@ from cwfa_tpu.models.cwfa_model import CWFAModel
 
 
 def main(argv=None):
+    from cwfa_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     p = build_parser()
     p.add_argument("--finetune", type=int, default=0,
                    help="run the fast finetune loop on flagged frames")

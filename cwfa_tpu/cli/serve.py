@@ -45,6 +45,8 @@ def build_parser():
 def main(argv=None):
     import jax.numpy as jnp
 
+    from cwfa_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     from cwfa_tpu.data.dataset import read_lenslet_centers
     from cwfa_tpu.data.views import make_view_indices
     from cwfa_tpu.data.tiff import read_tiff_stack

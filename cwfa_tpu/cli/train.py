@@ -108,6 +108,8 @@ def cross_validation_groups(main_data_path: str, use_sparse: bool):
 
 
 def main(argv=None):
+    from cwfa_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     cfg_kwargs = {f.name: getattr(args, f.name)
                   for f in dataclasses.fields(CWFAConfig)

@@ -34,6 +34,8 @@ from cwfa_tpu.ops.deconv import xlfm_deconvolve
 
 
 def main(argv):
+    from cwfa_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     n_its, chunk, repeats, batch = [], 30, 3, 1
     i = 0
     while i < len(argv):

@@ -14,6 +14,8 @@ from cwfa_tpu.models.cwfa_model import CWFAModel
 
 
 def main():
+    from cwfa_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     args = [a for a in sys.argv[1:]]
     batch = int(args[0]) if args and args[0].isdigit() else 8
     use_int8 = "--int8" in args

@@ -20,3 +20,11 @@ jax.config.update("jax_enable_x64", False)
 # XLA's default matmul/conv path truncates to bf16 even on CPU; tests verify
 # exact numerical contracts, so force full fp32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache (~/.cache/cwfa_tpu/xla): re-runs of the suite
+# skip recompiling unchanged programs on this 1-core host.  Keys include the
+# HLO hash + platform/topology, so entries never cross configurations;
+# CWFA_COMPILE_CACHE=0 disables.
+from cwfa_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()

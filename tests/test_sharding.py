@@ -106,7 +106,12 @@ def test_depth_sharded_deconvolution():
     psf = np.abs(rng.rand(1, d, p, p)).astype(np.float32)
     psf /= psf.sum(axis=(-2, -1), keepdims=True)
     otf, full_hw = precompute_otf(jnp.asarray(psf), (s, s))
-    vol = jnp.asarray(np.abs(rng.rand(1, d, s, s)).astype(np.float32))
+    # batch of 2 frames at different intensity scales: the RL ratio-clamp
+    # median must stay a PER-FRAME statistic on the sharded path too
+    vol = np.abs(rng.rand(2, d, s, s)).astype(np.float32)
+    vol[1] *= 300.0
+    vol[1, :, 6:, :] = 0.0
+    vol = jnp.asarray(vol)
     img = xlfm_forward_project(vol, otf, full_hw, psf_hw=(p, p))
 
     ref, _ = xlfm_deconvolve(otf, img, n_iter=3, obj_hw=(s, s), roi_depths=d)
