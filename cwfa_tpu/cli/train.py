@@ -221,7 +221,17 @@ def main(argv=None):
         return results
 
     model = CWFAModel.build(cfg)
-    trainer = CWFATrainer(model, stats, vidx, output_path=out)
+    # --mesh_data_axis/--mesh_space_axis: multi-chip training (batch over
+    # 'data' with XLA-emitted gradient all-reduce, image rows over 'space';
+    # no reference counterpart — the reference is single-GPU, SURVEY §2.6)
+    mesh = None
+    if int(cfg.mesh_data_axis) * int(cfg.mesh_space_axis) > 1:
+        from cwfa_tpu.parallel import make_mesh
+        mesh = make_mesh(n_data=int(cfg.mesh_data_axis),
+                         n_space=int(cfg.mesh_space_axis))
+        print(f"training on a {cfg.mesh_data_axis}x{cfg.mesh_space_axis} "
+              "(data,space) device mesh", flush=True)
+    trainer = CWFATrainer(model, stats, vidx, output_path=out, mesh=mesh)
     counts = model.param_counts(trainer.params)
     print(f"nParameters: WF: {counts['WF']}\tOmega: {counts['Omega']}\t"
           f"LRNN: {counts['LRNN']}\t\ttotal: {sum(counts.values())}")

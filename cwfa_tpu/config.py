@@ -121,7 +121,7 @@ class CWFAConfig:
 
     # --- runtime extras (no reference counterpart; TPU-specific) ---
     fine_tune: int = 1                 # derived: len(fine_tune_optimize_steps)>0
-    mesh_data_axis: int = 1            # data-parallel chips (serve CLI mesh)
+    mesh_data_axis: int = 1            # data-parallel chips (serve + train CLI mesh)
     mesh_space_axis: int = 1           # spatial (H) sharding chips (ditto)
 
     def decode_lrs(self) -> "CWFAConfig":

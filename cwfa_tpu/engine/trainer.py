@@ -113,12 +113,18 @@ class CWFATrainer:
 
     def __init__(self, model: CWFAModel, stats: DatasetStatistics,
                  view_indices: dict, output_path: str | None = None,
-                 seed: int | None = None):
+                 seed: int | None = None, mesh=None):
         self.model = model
         self.cfg = model.cfg
         self.stats = stats
         self.view_indices = view_indices
         self.output_path = output_path
+        # optional ('data','space') device mesh: every jitted train/eval
+        # program is wrapped for SPMD (batch over 'data', image rows over
+        # 'space'; XLA emits the gradient all-reduce).  Numerics identical
+        # to single-device (tests/test_sharding.py) — no reference
+        # counterpart (the reference is single-GPU, SURVEY §2.6).
+        self.mesh = mesh
         tb = None
         if output_path:
             os.makedirs(output_path, exist_ok=True)
@@ -291,6 +297,19 @@ class CWFATrainer:
             return pyr[level]
         self._recon_to_level = jax.jit(recon_to_level,
                                        static_argnames=("level",))
+
+        if self.mesh is not None:
+            from cwfa_tpu.parallel.mesh import sharded_train_step as _sts
+            m = self.mesh
+            # batch-arg positions per program (the wrapper places those
+            # args batch-over-'data' / rows-over-'space', replicates the
+            # rest, and passes static ints through untouched)
+            self._pyramid = _sts(m, self._pyramid, {1})
+            self._lrnn_step = _sts(m, self._lrnn_step, {3, 4, 5})
+            self._flow_steps = [_sts(m, f, {4, 5, 6, 7})
+                                for f in self._flow_steps]
+            self._recon_eval = _sts(m, self._recon_eval, {2, 3})
+            self._recon_to_level = _sts(m, self._recon_to_level, {2, 3})
 
     # ------------------------------------------------------------ caching
     def ensure_mean_caches(self, dataset: ConcatXLFMDataset):

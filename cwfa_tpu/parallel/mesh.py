@@ -48,13 +48,31 @@ def sharded_train_step(mesh: Mesh, train_step_fn, batch_args_ix):
     """Wrap a (jitted) train-step function for SPMD execution: batch-shaped
     args at positions ``batch_args_ix`` are placed with the 'data'(+'space')
     sharding, everything else replicated; XLA then compiles the step SPMD and
-    emits the gradient all-reduce itself."""
+    emits the gradient all-reduce itself.  SPMD partitioning is semantics-
+    preserving, so the wrapped step computes exactly what the unwrapped one
+    does (equivalence-tested on the virtual CPU mesh).
+
+    Placement is per leaf and degrades gracefully: a batch leaf whose
+    leading dim does not divide the 'data' axis (a ragged final batch) or
+    whose row dim does not divide 'space' falls back to the widest legal
+    sharding (no crash, just less parallelism on that call); non-array
+    leaves (static ints, None) pass through untouched so jits with static
+    arguments survive wrapping."""
     rep = replicate(mesh)
-    shd = batch_sharding(mesh, with_space=mesh.shape["space"] > 1)
+    n_data = mesh.shape["data"]
+    n_space = mesh.shape["space"]
+    shd = batch_sharding(mesh, with_space=n_space > 1)
+    shd_rows = batch_sharding(mesh, with_space=False)
 
     def place(x, want_shard):
-        s = shd if (want_shard and getattr(x, "ndim", 0) >= 4) else rep
-        return jax.device_put(x, s)
+        if not hasattr(x, "ndim"):
+            return x
+        if want_shard and getattr(x, "ndim", 0) >= 4 \
+                and x.shape[0] % n_data == 0:
+            if n_space > 1 and x.shape[2] % n_space == 0:
+                return jax.device_put(x, shd)
+            return jax.device_put(x, shd_rows)
+        return jax.device_put(x, rep)
 
     def wrapper(*args):
         placed = [jax.tree_util.tree_map(

@@ -114,6 +114,36 @@ def test_train_cli_smoke(rig, tmp_path):
     assert len(results["train"]["psnr"]) > 0
 
 
+def test_train_cli_meshed_smoke(rig, tmp_path):
+    """--mesh_data_axis/--mesh_space_axis: the train CLI builds a
+    ('data','space') mesh and runs the full schedule SPMD (batch over
+    'data', image rows over 'space'); numerics equivalence is covered by
+    tests/test_sharding.py::test_trainer_on_mesh_matches_single_device."""
+    from cwfa_tpu.cli.train import main as train_main
+    info = rig["info"]
+    results = train_main([
+        "--main_data_path", info["root"],
+        "--lenslet_file", info["lenslet_file"],
+        "--cross_validation_nFold", "0",
+        "--n_depths", str(N_DEPTHS),
+        "--volume_side_size", str(VIEW),
+        "--img_size", str(IMG),
+        "--epochs", "2",
+        "--eval_every", "2",
+        "--INN_max_down_steps", "2",
+        "--INN_n_blocks", "1",
+        "--INN_internal_chans", "8",
+        "--INN_cond_chans", "4",
+        "--max_samples", "2",
+        "--batch_size", "2",
+        "--mesh_data_axis", "2",
+        "--mesh_space_axis", "2",
+        "--output_testing_path", str(tmp_path / "out"),
+    ])
+    assert "train" in results
+    assert np.isfinite(np.asarray(results["train"]["psnr"])).all()
+
+
 def test_ood_detect_batched_matches_batch1(rig):
     """detect_ood honors batch_size with per-frame NLLs identical across
     batch shapes (frames only differ by the noise key draw; share none —

@@ -2,6 +2,7 @@
 training step and data+space-sharded reconstruction compile, run, and agree
 with the single-device result."""
 
+import chex
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -120,3 +121,66 @@ def test_depth_sharded_deconvolution():
                                      roi_depths=d)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_trainer_on_mesh_matches_single_device(tmp_path):
+    """CWFATrainer(mesh=...) wraps every jitted program for SPMD (batch over
+    'data', rows over 'space', XLA-emitted gradient all-reduce).  SPMD
+    partitioning is semantics-preserving, so epoch losses must match the
+    meshless trainer's; the ragged final batch (B=1 on a 2-wide data axis)
+    exercises the per-leaf replication fallback."""
+    from cwfa_tpu.data import (ConcatXLFMDataset, load_xlfm_data,
+                               make_synthetic_dataset, make_view_indices)
+    from cwfa_tpu.engine.trainer import CWFATrainer
+
+    nd, side, img, nl, view = 8, 16, 64, 4, 16
+    info = make_synthetic_dataset(str(tmp_path), n_fish=1, n_frames=3,
+                                  n_depths=nd, vol_side=side, img_size=img,
+                                  n_lenslets=nl, view_size=view)
+    ds = load_xlfm_data(info["fish_dirs"][0] + "/SLNet_preprocessed",
+                        info["lenslet_file"], vol_shape=(side, side, nd),
+                        img_shape=(img, img), images_to_use=[0, 1, 2],
+                        n_depths_to_fill=nd, ds_id="fish_0")
+    cat = ConcatXLFMDataset(ds)
+    cfg = CWFAConfig(n_depths=nd, volume_side_size=view, n_lenslets=nl,
+                     INN_max_down_steps=3, INN_n_blocks=2,
+                     INN_internal_chans=8, INN_cond_chans=4, epochs=3,
+                     eval_every=100, save_tiff_volumes=0,
+                     batch_size=2).decode_lrs()
+    model = CWFAModel.build(cfg)
+    vidx = make_view_indices(ds.lenslet_coords, (img, img), (view, view))
+    stats = cat.get_statistics()
+
+    mesh = make_mesh(n_data=2, n_space=2)
+    tr_m = CWFATrainer(model, stats, vidx, mesh=mesh)
+    tr_s = CWFATrainer(model, stats, vidx)
+    # same model + seed -> identical initial params
+    chex.assert_trees_all_equal(tr_m.params, tr_s.params)
+
+    for ep in range(3):                  # LRNN stage + both flow stages
+        lm = float(tr_m.train_epoch(cat, ep))
+        ls = float(tr_s.train_epoch(cat, ep))
+        assert np.isfinite(lm)
+        np.testing.assert_allclose(lm, ls, rtol=2e-3, err_msg=f"epoch {ep}")
+
+    # parameters track within Lion's step scale (sign updates can flip on
+    # reduction-order noise of near-zero gradient components; anything
+    # beyond a few lr is a wiring bug, e.g. double-counted gradients)
+    lr = max(cfg.learning_rate, cfg.learning_rate_cond,
+             cfg.learning_rate_first_step)
+    for pm, ps in zip(jax.tree.leaves(tr_m.params),
+                      jax.tree.leaves(tr_s.params)):
+        np.testing.assert_allclose(np.asarray(pm), np.asarray(ps),
+                                   atol=6 * lr, rtol=0)
+
+    # eval-mode reconstruction through the wrapped program: no optimizer
+    # in the loop -> tight agreement
+    views_n = jnp.asarray(np.random.RandomState(0)
+                          .randn(2, nl, view, view).astype(np.float32))
+    mcs = [jnp.zeros((2, nd // (2 ** (k + 1)), view, view), jnp.float32)
+           for k in range(model.n_flow_steps + 1)]
+    key = jax.random.PRNGKey(7)
+    vm, _ = tr_m._recon_eval(tr_m.params, tr_m.mstate, views_n, mcs, key)
+    vs, _ = tr_s._recon_eval(tr_m.params, tr_m.mstate, views_n, mcs, key)
+    np.testing.assert_allclose(np.asarray(vm), np.asarray(vs),
+                               rtol=1e-4, atol=1e-5)
