@@ -123,6 +123,29 @@ def test_depth_sharded_deconvolution():
                                atol=1e-5)
 
 
+def test_sharded_train_step_placement_fallbacks():
+    """sharded_train_step's per-leaf placement: batch leaves with leading
+    dims not divisible by 'data' (ragged final batch), or row dims not
+    divisible by 'space', fall back to the widest legal sharding instead of
+    crashing; non-array leaves (static ints, None) pass through.  The
+    wrapped program stays numerically identical in every case."""
+    mesh = make_mesh(n_data=2, n_space=2)
+
+    @jax.jit
+    def step(w, x, flag):
+        return (w * x).sum(axis=(1, 2, 3)) + flag
+
+    wrapped = sharded_train_step(mesh, step, {1})
+    w = jnp.float32(2.0)
+    for shape in [(4, 3, 8, 8),    # fully shardable (data+space)
+                  (4, 3, 7, 8),    # rows % space != 0 -> data-only
+                  (3, 3, 8, 8),    # batch % data != 0 -> replicate
+                  (1, 3, 7, 8)]:   # neither divides
+        x = jnp.arange(np.prod(shape), dtype=jnp.float32).reshape(shape)
+        np.testing.assert_allclose(np.asarray(wrapped(w, x, 5)),
+                                   np.asarray(step(w, x, 5)), rtol=1e-6)
+
+
 def test_trainer_on_mesh_matches_single_device(tmp_path):
     """CWFATrainer(mesh=...) wraps every jitted program for SPMD (batch over
     'data', rows over 'space', XLA-emitted gradient all-reduce).  SPMD
