@@ -155,6 +155,9 @@ def _train_step_times(cfg, model, params, mstate, stats, mean_caches,
 
     rng = np.random.RandomState(1)
     side = cfg.volume_side_size
+    # mirror the shipped trainer's --use_half_precision AMP semantics
+    # (engine/trainer.py: bf16 network compute, fp32 params/losses/logdets)
+    dt = jnp.bfloat16 if cfg.use_half_precision else jnp.float32
     nf = model.n_flow_steps
     spec = model.step_specs[0]
     tx_flow, tx_cond, tx_lrnn = make_optimizers(model)
@@ -175,9 +178,12 @@ def _train_step_times(cfg, model, params, mstate, stats, mean_caches,
     @jax.jit
     def lrnn_step(params, mstate, opt_l, key):
         def loss(lp):
-            out, st = model.run_lrnn({**params, "lrnn": lp}, mstate, views_n,
-                                     mean_lrnn, train=True, rng=key)
-            return L.recon_loss(cfg.loss_func_first_step, gt_coarse, out), st
+            out, st = model.run_lrnn({**params, "lrnn": lp}, mstate,
+                                     views_n.astype(dt),
+                                     mean_lrnn.astype(dt), train=True,
+                                     rng=key)
+            return L.recon_loss(cfg.loss_func_first_step, gt_coarse,
+                                out.astype(jnp.float32)), st
         (l, st), g = jax.value_and_grad(loss, has_aux=True)(params["lrnn"])
         up, opt_l = tx_lrnn.update(g, opt_l, params["lrnn"])
         return optax.apply_updates(params["lrnn"], up), l
@@ -186,11 +192,14 @@ def _train_step_times(cfg, model, params, mstate, stats, mean_caches,
     def flow_step(fk, ck, opt_f, opt_c, key):
         def loss(args):
             fk, ck = args
-            cv = cond_network(ck, views_n, train=True, rng=key)
-            z = jnp.zeros((1, spec.c_flow, side, side), jnp.float32)
-            recon, _ = cwf_step_reverse(spec, fk, z, upsampled, cv, c_mean0)
-            lc = L.recon_loss(cfg.loss_func_reg, gt0, recon)
-            zz, _, logdet = cwf_step_forward(spec, fk, gt0, cv, c_mean0)
+            cv = cond_network(ck, views_n.astype(dt), train=True, rng=key)
+            z = jnp.zeros((1, spec.c_flow, side, side), dt)
+            recon, _ = cwf_step_reverse(spec, fk, z, upsampled.astype(dt),
+                                        cv, c_mean0.astype(dt))
+            lc = L.recon_loss(cfg.loss_func_reg, gt0,
+                              recon.astype(jnp.float32))
+            zz, _, logdet = cwf_step_forward(spec, fk, gt0.astype(dt), cv,
+                                             c_mean0.astype(dt))
             # logdets SUMMED like the prior (step_nll contract; == mean
             # only at this microbench's batch 1)
             nll = (0.5 * jnp.sum(zz.astype(jnp.float32) ** 2)

@@ -210,6 +210,17 @@ class CWFATrainer:
             return sent(nlls), cache, sent(priors), jnp.stack(ljs)
         self._pyramid = pyramid_fn
 
+        # --use_half_precision: bf16 network compute in the optimizer steps
+        # (the reference's AMP training default, CWFA.py:13,613,813 +
+        # main.py:37).  AMP discipline: master params, gradients, Lion
+        # state, losses, logdets, and BatchNorm statistics all stay fp32
+        # (nn.py casts params to the input dtype per layer and upcasts
+        # stats/logdet reductions); only activations ride bf16 — measured
+        # to cut the HBM-bound backward traffic (~156 GB/step at flagship
+        # batch 1, scripts/profile_train_step.py).  No GradScaler: bf16
+        # has fp32's exponent range (documented divergence, SURVEY §2.6).
+        dt = jnp.bfloat16 if cfg.use_half_precision else jnp.float32
+
         def lrnn_step(params, mstate, opt_state, views_n, mean_c, gt_coarse,
                       key):
             k_noise, k_drop = jax.random.split(key)
@@ -221,9 +232,11 @@ class CWFATrainer:
                     vin = vin + 0.5 * jax.random.normal(k_noise, vin.shape,
                                                         vin.dtype)
                 out, new_lrnn_state = model.run_lrnn(
-                    p, mstate, vin, mean_c, train=True, rng=k_drop)
-                loss = L.recon_loss(cfg.loss_func_first_step, gt_coarse, out)
-                return loss, (out, new_lrnn_state)
+                    p, mstate, vin.astype(dt), mean_c.astype(dt),
+                    train=True, rng=k_drop)
+                loss = L.recon_loss(cfg.loss_func_first_step, gt_coarse,
+                                    out.astype(jnp.float32))
+                return loss, (out.astype(jnp.float32), new_lrnn_state)
 
             (loss, (out, new_state)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params["lrnn"])
@@ -245,25 +258,27 @@ class CWFATrainer:
                         # zero views-condition (CWFA.py:892-894); the cond
                         # net is unused and receives no updates.
                         c_views = jnp.zeros(
-                            (b, spec.c_flow, spec.spatial, spec.spatial),
-                            gt_k.dtype)
+                            (b, spec.c_flow, spec.spatial, spec.spatial), dt)
                     else:
                         c_views = cnn_cond(ck, views_n, key)
                     z = jnp.zeros((b, spec.c_flow, spec.spatial, spec.spatial),
-                                  gt_k.dtype)
-                    recon, _ = cwf_step_reverse(spec, fk, z, upsampled_in,
-                                                c_views, mean_c_k)
+                                  dt)
+                    recon, _ = cwf_step_reverse(spec, fk, z,
+                                                upsampled_in.astype(dt),
+                                                c_views, mean_c_k.astype(dt))
+                    recon = recon.astype(jnp.float32)
                     loss_c = L.recon_loss(cfg.loss_func_reg, gt_k, recon)
                     pseudo = {"flow": [fk if i == k else None
                                        for i in range(nf)]}
-                    nll, _ = model.step_nll(pseudo, k, gt_k, c_views, mean_c_k)
+                    nll, _ = model.step_nll(pseudo, k, gt_k.astype(dt),
+                                            c_views, mean_c_k.astype(dt))
                     full = (loss_c * cfg.INN_cond_weight
                             + nll * (1.0 - cfg.INN_cond_weight))
                     return full, (loss_c, nll, recon)
 
                 def cnn_cond(ck, vn, kk):
                     from cwfa_tpu.models.cond_net import cond_network
-                    return cond_network(ck, vn, train=True, rng=kk)
+                    return cond_network(ck, vn.astype(dt), train=True, rng=kk)
 
                 (full, (loss_c, nll, recon)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)((flow_k, cond_k))

@@ -125,6 +125,16 @@ def init_conv2d(key, c_in, c_out, k, init=torch_default_conv_init,
     return p
 
 
+def _acc_dtype(x):
+    """preferred_element_type for convolutions: f32 accumulation for f32
+    inputs; None for bf16 (the MXU accumulates bf16 convs in f32 in hardware
+    and rounds once at the output — identical numerics — while an explicit
+    f32 preferred_element_type breaks the conv TRANSPOSE rule under autodiff:
+    the f32 cotangent meets the bf16 weight and lax rejects the mixed-dtype
+    conv, which would make bf16-AMP training untraceable)."""
+    return None if x.dtype == jnp.bfloat16 else jnp.float32
+
+
 def conv2d(params, x, stride=1, padding="SAME", dilation=1):
     if isinstance(stride, int):
         stride = (stride, stride)
@@ -136,7 +146,7 @@ def conv2d(params, x, stride=1, padding="SAME", dilation=1):
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding,
         rhs_dilation=dilation, dimension_numbers=_DIMNUMS_2D,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_acc_dtype(x),
     ).astype(x.dtype)
     if "b" in params:
         y = y + params["b"].astype(x.dtype)[None, :, None, None]
@@ -162,7 +172,7 @@ def conv3d(params, x, stride=1, padding="SAME"):
     w = params["w"].astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding,
-        dimension_numbers=_DIMNUMS_3D, preferred_element_type=jnp.float32,
+        dimension_numbers=_DIMNUMS_3D, preferred_element_type=_acc_dtype(x),
     ).astype(x.dtype)
     if "b" in params:
         y = y + params["b"].astype(x.dtype)[None, :, None, None, None]
@@ -200,7 +210,7 @@ def conv_transpose2d(params, x, stride=2):
         x, w, strides=stride, padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         transpose_kernel=True,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_acc_dtype(x),
     ).astype(x.dtype)
     if "b" in params:
         y = y + params["b"].astype(x.dtype)[None, :, None, None]
@@ -240,7 +250,7 @@ def conv1d(params, x, padding="SAME"):
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(1,), padding=padding,
         dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_acc_dtype(x),
     ).astype(x.dtype)
     if "b" in params:
         y = y + params["b"].astype(x.dtype)[None, :, None]
