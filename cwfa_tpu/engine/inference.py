@@ -103,7 +103,8 @@ class XLFMReconstructor:
                 cond_q=cond_q)
             return vol.astype(jnp.float32) * std_v + mean_v
 
-        self._fn = jax.jit(recon)
+        from cwfa_tpu.utils.compile_opts import compiler_options
+        self._fn = jax.jit(recon, compiler_options=compiler_options())
         self._params = params
         self._mstate = mstate
         self._mean_caches = [jnp.asarray(c) for c in mean_caches]

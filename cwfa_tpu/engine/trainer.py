@@ -181,6 +181,11 @@ class CWFATrainer:
         mean_i, std_i = self.stats.mean_imgs, self.stats.std_imgs
         mean_v, std_v = self.stats.mean_vols, self.stats.std_vols
         nf = model.n_flow_steps
+        # optional XLA backend-flag overrides (CWFA_COMPILER_OPTIONS;
+        # utils/compile_opts.py) on the hot optimizer-step programs —
+        # measured-neutral on this chip at defaults, kept as a tuning hook
+        from cwfa_tpu.utils.compile_opts import compiler_options
+        _copts = compiler_options()
 
         @jax.jit
         def views_norm_fn(raw_views):
@@ -244,7 +249,7 @@ class CWFATrainer:
                 grads, opt_state, params["lrnn"])
             lrnn_params = optax.apply_updates(params["lrnn"], updates)
             return lrnn_params, new_state, opt_state, loss, out
-        self._lrnn_step = jax.jit(lrnn_step)
+        self._lrnn_step = jax.jit(lrnn_step, compiler_options=_copts)
 
         def make_flow_step(k):
             spec = model.step_specs[k]
@@ -288,7 +293,7 @@ class CWFATrainer:
                 uc, opt_c = self.tx_cond.update(gc, opt_c, cond_k)
                 cond_k = optax.apply_updates(cond_k, uc)
                 return flow_k, cond_k, opt_f, opt_c, full, loss_c, nll, recon
-            return jax.jit(flow_step)
+            return jax.jit(flow_step, compiler_options=_copts)
         self._flow_steps = [make_flow_step(k) for k in range(nf)]
 
         def recon_eval(params, mstate, views_n, mean_caches, key):

@@ -1,6 +1,9 @@
 """Quick full-pipeline fps at a given batch (default 8) on TPU.
 Usage: python scripts/bench_fps.py [batch] [--int8]"""
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
