@@ -196,6 +196,19 @@ def rfft2_gemm(x, precision=None):
     return jax.lax.complex(*rfft2_gemm_pair(x, precision))
 
 
+@lru_cache(maxsize=64)
+def _hermitian_ck(wr: int, w: int):
+    """Hermitian real-output fold weights over the rfft bins:
+    out[m] = Re(sum_k c_k X_k W^{+mk}) with c_k = 2 except DC (and the
+    Nyquist bin for even W).  Shared by both inverse paths so the fold
+    semantics can never diverge."""
+    ck = np.full(wr, 2.0, np.float32)
+    ck[0] = 1.0
+    if w % 2 == 0:
+        ck[wr - 1] = 1.0
+    return jnp.asarray(ck)
+
+
 def irfft2_gemm_pair(xr, xi, s, precision=None):
     """jnp.fft.irfft2 equivalent on an (re, im) pair (..., H, W//2+1) ->
     real (..., H, W) with W = s[1]; no complex dtypes."""
@@ -209,11 +222,7 @@ def irfft2_gemm_pair(xr, xi, s, precision=None):
     # out[m] = Re(sum_k c_k X_k W^{+mk}) over just the rfft bins,
     # c_k = 2 except DC (and Nyquist for even W); the full inverse is the
     # windowed inverse evaluated at [0, W)
-    ck = np.full(wr, 2.0, np.float32)
-    ck[0] = 1.0
-    if w % 2 == 0:
-        ck[wr - 1] = 1.0
-    ck = jnp.asarray(ck)
+    ck = _hermitian_ck(wr, w)
     yr, _ = idft_window_last(xr * ck, xi * ck, 0, w, real_out=True,
                              precision=precision, n=w)
     return yr / (h * w)
@@ -507,11 +516,7 @@ def irfft2_window_gemm_pair(xr, xi, s, h_win, w_win, precision=None,
     # contracts ~half the k2 blocks and the (..., hl, W) extension copy
     # never exists (measured on the RL backward projection:
     # docs/PERFORMANCE.md round-3, Hermitian fold).
-    ck = np.full(wr, 2.0, np.float32)
-    ck[0] = 1.0
-    if w % 2 == 0:
-        ck[wr - 1] = 1.0
-    ck = jnp.asarray(ck)
+    ck = _hermitian_ck(wr, w)
     out, _ = idft_window_last(yr * ck, yi * ck, w0u, wl, real_out=True,
                               precision=precision, n=w)
     return out / (h * w)

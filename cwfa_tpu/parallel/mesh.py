@@ -65,7 +65,10 @@ def sharded_train_step(mesh: Mesh, train_step_fn, batch_args_ix):
     shd_rows = batch_sharding(mesh, with_space=False)
 
     def place(x, want_shard):
-        if not hasattr(x, "ndim"):
+        # pass through non-arrays AND 0-d leaves (numpy scalar ints have
+        # ndim == 0; device_put would turn a static jit argument into an
+        # unhashable jax Array)
+        if not hasattr(x, "ndim") or getattr(x, "ndim", 0) == 0:
             return x
         if want_shard and getattr(x, "ndim", 0) >= 4 \
                 and x.shape[0] % n_data == 0:

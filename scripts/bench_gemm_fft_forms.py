@@ -36,7 +36,8 @@ import jax.numpy as jnp
 
 from cwfa_tpu.ops.fft_conv import rfft2_padded
 from cwfa_tpu.ops.gemm_fft import (fft_last_window, idft_window_last,
-                                   irfft2_window_gemm_pair, _dft_mats)
+                                   irfft2_window_gemm_pair, _dft_mats,
+                                   _hermitian_ck)
 
 PREC = jax.lax.Precision.HIGHEST
 N = 2880
@@ -125,10 +126,7 @@ def inv_w_dense(yr, yi):
 
 
 def inv_w_ct(yr, yi):
-    ck = np.full(BINS, 2.0, np.float32)
-    ck[0] = 1.0
-    ck[BINS - 1] = 1.0
-    ck = jnp.asarray(ck)
+    ck = _hermitian_ck(BINS, N)
     out, _ = idft_window_last(yr * ck, yi * ck, W0 - N // 2, VOL,
                               real_out=True, precision=PREC, n=N)
     return out / (N * N)

@@ -9,6 +9,7 @@ def test_enable_sets_config_and_creates_dir(tmp_path, monkeypatch):
     import os
     d = str(tmp_path / "xla_cache")
     monkeypatch.setenv("CWFA_COMPILE_CACHE", d)
+    before = jax.config.jax_compilation_cache_dir
     try:
         assert enable_compile_cache() == d
         assert os.path.isdir(d)
@@ -18,7 +19,10 @@ def test_enable_sets_config_and_creates_dir(tmp_path, monkeypatch):
         assert enable_compile_cache(d2) == d2
         assert jax.config.jax_compilation_cache_dir == d2
     finally:
-        jax.config.update("jax_compilation_cache_dir", None)
+        # restore the session-wide cache dir (conftest enables it for the
+        # whole suite; resetting to None here would silently disable it
+        # for every later test module)
+        jax.config.update("jax_compilation_cache_dir", before)
 
 
 def test_disable_values(tmp_path, monkeypatch):
