@@ -57,7 +57,9 @@ def build_parser():
 def main(argv=None):
     import jax.numpy as jnp
     from cwfa_tpu.utils.compile_cache import enable_compile_cache
+    from cwfa_tpu.parallel import initialize_from_env
     enable_compile_cache()
+    initialize_from_env()  # multi-host meshes for --mesh_depth_axis
     args = build_parser().parse_args(argv)
 
     stack_path = os.path.join(

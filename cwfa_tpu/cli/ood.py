@@ -29,7 +29,9 @@ from cwfa_tpu.models.cwfa_model import CWFAModel
 
 def main(argv=None):
     from cwfa_tpu.utils.compile_cache import enable_compile_cache
+    from cwfa_tpu.parallel import initialize_from_env
     enable_compile_cache()
+    initialize_from_env()
     p = build_parser()
     p.add_argument("--finetune", type=int, default=0,
                    help="run the fast finetune loop on flagged frames")

@@ -46,7 +46,9 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from cwfa_tpu.utils.compile_cache import enable_compile_cache
+    from cwfa_tpu.parallel import initialize_from_env
     enable_compile_cache()
+    initialize_from_env()  # multi-host meshes for --mesh_data/space_axis
     from cwfa_tpu.data.dataset import read_lenslet_centers
     from cwfa_tpu.data.views import make_view_indices
     from cwfa_tpu.data.tiff import read_tiff_stack

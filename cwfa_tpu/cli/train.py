@@ -109,7 +109,11 @@ def cross_validation_groups(main_data_path: str, use_sparse: bool):
 
 def main(argv=None):
     from cwfa_tpu.utils.compile_cache import enable_compile_cache
+    from cwfa_tpu.parallel import initialize_from_env, is_primary
     enable_compile_cache()
+    # multi-host SPMD: CWFA_DISTRIBUTED/CWFA_COORDINATOR env (no-op
+    # single-process); must precede the first backend touch
+    distributed = initialize_from_env()
     args = build_parser().parse_args(argv)
     cfg_kwargs = {f.name: getattr(args, f.name)
                   for f in dataclasses.fields(CWFAConfig)
@@ -206,6 +210,10 @@ def main(argv=None):
         cfg.output_testing_path,
         f"{datetime.now().strftime('%Y_%m_%d__%H_%M_%S')}_{marker}"
         f"{cfg.epochs}E_{prefix}_")
+    if distributed and not is_primary():
+        # every process runs the same SPMD programs; host-side artifacts
+        # (checkpoints, TB, TIFF dumps) are process 0's job
+        out = None
 
     if cfg.INN_net_type == 2:
         # XLFMNet baseline (main.py:99: "2: XLFMNet"; the reference's

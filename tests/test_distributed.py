@@ -1,0 +1,82 @@
+"""Multi-host bootstrap (parallel/distributed.py).
+
+The reference is single-GPU by design (SURVEY.md §2.6); these tests pin the
+TPU-native multi-process contract: env-driven jax.distributed.initialize,
+single-process no-op, primary gating, host-local index partitioning, and
+the global-array assembly path on the virtual device mesh.
+"""
+
+import numpy as np
+import jax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+import cwfa_tpu.parallel.distributed as dist
+from cwfa_tpu.parallel import (batch_sharding, global_batch_array,
+                               host_local_indices, initialize_from_env,
+                               is_primary, make_mesh)
+
+
+@pytest.fixture(autouse=True)
+def _reset_initialized(monkeypatch):
+    monkeypatch.setattr(dist, "_INITIALIZED", False)
+
+
+def test_noop_without_env(monkeypatch):
+    monkeypatch.delenv("CWFA_DISTRIBUTED", raising=False)
+    monkeypatch.delenv("CWFA_COORDINATOR", raising=False)
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append((a, k)))
+    assert initialize_from_env() is False
+    assert calls == []
+
+
+def test_explicit_rendezvous_env(monkeypatch):
+    monkeypatch.setenv("CWFA_COORDINATOR", "10.0.0.1:1234")
+    monkeypatch.setenv("CWFA_NUM_PROCESSES", "4")
+    monkeypatch.setenv("CWFA_PROCESS_ID", "2")
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **k: calls.append(k))
+    assert initialize_from_env() is True
+    assert calls == [{"coordinator_address": "10.0.0.1:1234",
+                      "num_processes": 4, "process_id": 2}]
+    # idempotent: a second call never re-initializes
+    assert initialize_from_env() is True
+    assert len(calls) == 1
+
+
+def test_auto_mode(monkeypatch):
+    monkeypatch.setenv("CWFA_DISTRIBUTED", "auto")
+    monkeypatch.delenv("CWFA_COORDINATOR", raising=False)
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append((a, k)))
+    assert initialize_from_env() is True
+    assert calls == [((), {})]
+
+
+def test_is_primary_single_process():
+    assert is_primary() is True
+
+
+def test_host_local_indices_partition():
+    # contiguous blocks, first n % P processes take the extra element,
+    # disjoint and exhaustive
+    got = [host_local_indices(10, pid, 4) for pid in range(4)]
+    assert got == [[0, 1, 2], [3, 4, 5], [6, 7], [8, 9]]
+    flat = [i for blk in got for i in blk]
+    assert flat == list(range(10))
+    # single process: everything
+    assert host_local_indices(5, 0, 1) == [0, 1, 2, 3, 4]
+
+
+def test_global_batch_array_single_process_equals_device_put():
+    mesh = make_mesh(n_data=4, n_space=2)
+    shd = batch_sharding(mesh, with_space=True)
+    x = np.arange(8 * 3 * 4 * 4, dtype=np.float32).reshape(8, 3, 4, 4)
+    arr = global_batch_array(x, shd)
+    assert arr.shape == x.shape
+    assert arr.sharding.spec == P("data", None, "space", None)
+    np.testing.assert_array_equal(np.asarray(arr), x)
