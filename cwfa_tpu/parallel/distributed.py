@@ -85,3 +85,20 @@ def global_batch_array(local: np.ndarray, sharding):
     if jax.process_count() == 1:
         return jax.device_put(local, sharding)
     return jax.make_array_from_process_local_data(sharding, local)
+
+
+def assemble_global(x, sharding):
+    """Place a host-replicated array under ``sharding`` in a way that works
+    on one process AND many: every process holds the identical full ``x``
+    (the dataset lives on shared storage — the reference's layout,
+    /root/reference/main.py:135-233), and each transfers exactly the index
+    slices its own devices own.  Single-process this is ``device_put``;
+    multi-process it assembles the global array from per-device shards
+    (``jax.make_array_from_single_device_arrays``), never transferring
+    non-addressable data."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    idx_map = sharding.addressable_devices_indices_map(x.shape)
+    shards = [jax.device_put(x[idx], d) for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(
+        x.shape, sharding, shards)

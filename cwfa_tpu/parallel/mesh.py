@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from cwfa_tpu.parallel.distributed import assemble_global
+
 
 def make_mesh(n_data: int | None = None, n_space: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
@@ -73,9 +75,9 @@ def sharded_train_step(mesh: Mesh, train_step_fn, batch_args_ix):
         if want_shard and getattr(x, "ndim", 0) >= 4 \
                 and x.shape[0] % n_data == 0:
             if n_space > 1 and x.shape[2] % n_space == 0:
-                return jax.device_put(x, shd)
-            return jax.device_put(x, shd_rows)
-        return jax.device_put(x, rep)
+                return assemble_global(x, shd)
+            return assemble_global(x, shd_rows)
+        return assemble_global(x, rep)
 
     def wrapper(*args):
         placed = [jax.tree_util.tree_map(
@@ -122,10 +124,12 @@ def sharded_reconstruct(mesh: Mesh, model, params, mstate, views_n,
             _RECON_JIT_CACHE.pop(next(iter(_RECON_JIT_CACHE)))
         _RECON_JIT_CACHE[cache_key] = run
 
-    params = jax.device_put(params, rep)
-    mstate = jax.device_put(mstate, rep)
-    views_n = jax.device_put(views_n, shd)
+    place_rep = partial(jax.tree_util.tree_map,
+                        lambda x: assemble_global(x, rep))
+    params = place_rep(params)
+    mstate = place_rep(mstate)
+    views_n = assemble_global(views_n, shd)
     b = views_n.shape[0]
-    mcs = [jax.device_put(jnp.broadcast_to(c, (b,) + c.shape[1:]), shd)
+    mcs = [assemble_global(jnp.broadcast_to(c, (b,) + c.shape[1:]), shd)
            for c in mean_caches]
     return run(params, mstate, views_n, mcs, key)
