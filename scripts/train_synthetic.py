@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--n_lenslets", type=int, default=9)
     ap.add_argument("--n_frames", type=int, default=8)
     ap.add_argument("--internal_chans", type=int, default=32)
+    ap.add_argument("--half", type=int, default=1,
+                    help="use_half_precision (bf16 AMP steps); 0 = fp32")
     ap.add_argument("--out", type=str, default="")
     args = ap.parse_args()
 
@@ -61,6 +63,7 @@ def main():
         n_lenslets=args.n_lenslets, INN_max_down_steps=4, INN_n_blocks=4,
         INN_internal_chans=args.internal_chans, INN_cond_chans=16,
         epochs=args.epochs, eval_every=max(args.epochs // 4, 1),
+        use_half_precision=args.half,
     ).decode_lrs()
     model = CWFAModel.build(cfg)
     vidx = make_view_indices(dss[0].lenslet_coords,
