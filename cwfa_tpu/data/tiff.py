@@ -35,7 +35,13 @@ def read_tiff_stack(path: str, pages=None) -> np.ndarray:
             # pages, so an early break here would make the loaded frame
             # set depend on which reader is available
         im.seek(i)
-        out.append(np.asarray(im, dtype=np.float32))
+        page = np.asarray(im, dtype=np.float32)
+        if page.size == 0:
+            # a corrupt IFD can claim a page PIL renders as 0-size; a
+            # silent (N, 0, 0) stack would surface as NaN statistics far
+            # from the cause (found by tests/test_tiff_fuzz.py)
+            raise ValueError(f"empty page {i} in {path!r} (corrupt TIFF?)")
+        out.append(page)
     if not out:
         raise ValueError(
             f"no pages selected from {path!r}: requested {list(pages)!r} "

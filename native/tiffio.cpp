@@ -36,6 +36,7 @@ struct Ifd {
 struct TiffFile {
   FILE* f = nullptr;
   bool big_endian = false;
+  uint64_t file_size = 0;
   std::vector<Ifd> ifds;
   std::string error;
 };
@@ -143,7 +144,13 @@ void* tiff_open(const char* path) {
   auto* t = new TiffFile();
   t->f = fopen(path, "rb");
   if (!t->f) { delete t; return nullptr; }
-  if (!parse_ifds(t)) { fclose(t->f); delete t; return nullptr; }
+  if (fseek(t->f, 0, SEEK_END) == 0) {
+    long sz = ftell(t->f);
+    t->file_size = sz > 0 ? (uint64_t)sz : 0;
+  }
+  if (fseek(t->f, 0, SEEK_SET) != 0 || !parse_ifds(t)) {
+    fclose(t->f); delete t; return nullptr;
+  }
   return t;
 }
 
@@ -160,6 +167,13 @@ int tiff_page_info(void* h, int page, int64_t* dims, int* dtype) {
   else if (p.bits == 16) *dtype = 2;
   else if (p.bits == 32 && p.sample_format == 3) *dtype = 3;
   else return -3;
+  // corrupt-IFD guards: a zero-dim page, or a pixel payload larger than
+  // the file itself (we only read uncompressed data), means the geometry
+  // tags lie — reject BEFORE the caller allocates height*width*elem
+  if (p.width == 0 || p.height == 0) return -5;
+  uint64_t need = p.width * p.height * (uint64_t)(p.bits / 8);
+  if (need / p.width / p.height != (uint64_t)(p.bits / 8)) return -5;
+  if (t->file_size && need > t->file_size) return -5;
   return 0;
 }
 
