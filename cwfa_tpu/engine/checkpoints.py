@@ -64,8 +64,14 @@ def save_step_checkpoint(path: str, step: int, epoch: int, cfg: CWFAConfig,
                                 if train_statistics is not None else []),
     }
     fname = os.path.join(path, f"{prefix}{step}__ep_{epoch}{posfix}.msgpack")
-    with open(fname, "wb") as f:
+    # atomic publish (SURVEY §5.3 restartability): a crash mid-write must
+    # not leave a corrupt highest-epoch file for resume discovery to pick;
+    # the dot-prefixed temp name can never match discover_checkpoints'
+    # prefix glob even if orphaned
+    tmp = os.path.join(path, "." + os.path.basename(fname) + ".tmp")
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
+    os.replace(tmp, fname)
     return fname
 
 

@@ -131,6 +131,27 @@ def test_step_nll_batched_is_mean_of_per_sample(rig):
                                rtol=1e-5)
 
 
+def test_checkpoint_save_is_atomic_and_tmp_invisible(tmp_path):
+    """save_step_checkpoint publishes via temp-file + os.replace (SURVEY
+    §5.3): no temp residue after a clean save, and an orphaned temp from a
+    crashed writer must be invisible to discovery (it would otherwise win
+    the highest-epoch pick and fail the restore)."""
+    import os
+    from cwfa_tpu.engine.checkpoints import (discover_checkpoints,
+                                             save_step_checkpoint)
+    cfg = CWFAConfig(n_depths=4, volume_side_size=8, n_lenslets=4)
+    out = str(tmp_path / "ck")
+    save_step_checkpoint(out, step=1, epoch=3, cfg=cfg,
+                         inn_params={"w": np.zeros(2, np.float32)})
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    # orphan from a hypothetical crash, claiming a higher epoch
+    orphan = os.path.join(out, ".model_step_1__ep_9.msgpack.tmp")
+    with open(orphan, "wb") as f:
+        f.write(b"half-written garbage")
+    best = discover_checkpoints(out)
+    assert best[1][0] == 3 and best[1][1].endswith(".msgpack")
+
+
 def test_checkpoint_roundtrip_mstate_and_optimizer(rig, tmp_path):
     """Checkpoints must carry the LRNN UNet BatchNorm running statistics
     (mstate) and the per-step optimizer momenta; a restored trainer's
