@@ -163,7 +163,7 @@ class ReconstructionService:
 def serve_directory(reconstructor, batch_size, img_hw, in_dir, out_dir,
                     pattern=".tif", poll_seconds: float = 0.0,
                     limit: int | None = None, verbose: bool = True,
-                    out_dtype=np.float32):
+                    out_dtype=np.float32, max_retries: int = 5):
     """Reconstruct every TIFF frame in a directory (optionally watching for
     new files), writing one volume TIFF per frame — the service-shaped
     version of the reference's per-frame dump loop (CWFA.py:1047-1055).
@@ -186,6 +186,7 @@ def serve_directory(reconstructor, batch_size, img_hw, in_dir, out_dir,
     svc = ReconstructionService(reconstructor, batch_size, img_hw,
                                 on_volume=enqueue)
     seen = set()
+    fails: dict = {}
     done = 0
     while True:
         names = sorted(f for f in os.listdir(in_dir)
@@ -194,10 +195,18 @@ def serve_directory(reconstructor, batch_size, img_hw, in_dir, out_dir,
         for name in names:
             try:
                 stack = read_tiff_stack(os.path.join(in_dir, name))
-            except Exception:
+            except Exception as e:
                 # partially-written file (camera still flushing): leave it
-                # un-seen and retry on the next poll
+                # un-seen and retry on the next poll — but a PERMANENTLY
+                # corrupt file must not be re-parsed on every poll forever;
+                # after max_retries quarantine it (seen, never served)
+                fails[name] = fails.get(name, 0) + 1
+                if fails[name] >= max_retries:
+                    seen.add(name)
+                    print(f"serve: quarantined unreadable {name!r} after "
+                          f"{fails.pop(name)} attempts: {e}", flush=True)
                 continue
+            fails.pop(name, None)
             seen.add(name)
             progressed = True
             if stack.ndim == 2:

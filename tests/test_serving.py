@@ -62,6 +62,45 @@ def test_serve_directory_roundtrip(tmp_path):
     assert v.shape == (2, 4, 4)
 
 
+def test_watch_mode_quarantines_corrupt_file(tmp_path, monkeypatch, capsys):
+    """A permanently unreadable frame file must be retried max_retries
+    times, then quarantined — never crash the service, never be re-parsed
+    on every poll forever, and never block the good frames."""
+    import cwfa_tpu.data.tiff as tiffmod
+    from cwfa_tpu.data.tiff import write_tiff_stack
+
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    with open(in_dir / "a_bad.tif", "wb") as f:
+        f.write(b"II*\x00not a real tiff body")
+
+    # deterministic (no wall-clock races): the good frame only appears
+    # after the corrupt file's 3rd failed parse, so the quarantine MUST
+    # fire before the frame limit can end the watch loop
+    real_read = tiffmod.read_tiff_stack
+    bad_attempts = [0]
+
+    def counting_read(path, pages=None):
+        if path.endswith("a_bad.tif"):
+            bad_attempts[0] += 1
+            if bad_attempts[0] == 3:
+                rng = np.random.RandomState(1)
+                write_tiff_stack(str(in_dir / "frame_0.tif"),
+                                 rng.rand(8, 8).astype(np.float32))
+        return real_read(path, pages)
+
+    monkeypatch.setattr(tiffmod, "read_tiff_stack", counting_read)
+    fr = FakeRecon()
+    out = serve_directory(fr, batch_size=1, img_hw=(8, 8),
+                          in_dir=str(in_dir), out_dir=str(out_dir),
+                          poll_seconds=0.01, limit=1, verbose=False,
+                          max_retries=3)
+    assert out["frames"] == 1
+    assert len(os.listdir(out_dir)) == 1
+    assert bad_attempts[0] == 3  # retried to the cap, then never again
+    assert "quarantined" in capsys.readouterr().out
+
+
 def test_flush_partial_emits_waiting_frames():
     """Watch-mode idle flush: a sub-batch must not wait for the batch to
     fill."""
