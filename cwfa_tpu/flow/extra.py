@@ -203,6 +203,99 @@ def inv_auto_act(params, x, rev=False):
     return y, (-j if rev else j)
 
 
+def init_inv_auto_act_two_sided(n_chans: int, init_pos: float = 2.0,
+                                init_neg: float = 0.5):
+    """Per-channel two-sided slopes, learned in log space
+    (inv_auto_layers.py:29-53; exp(alpha_pos) == init_pos)."""
+    return {
+        "alpha_pos": jnp.full((n_chans,), float(np.log(init_pos)),
+                              jnp.float32),
+        "alpha_neg": jnp.full((n_chans,), float(np.log(init_neg)),
+                              jnp.float32),
+    }
+
+
+def inv_auto_act_two_sided(params, x, rev=False):
+    """Leaky-relu-like activation with separate learned positive/negative
+    slopes per channel (inv_auto_layers.py:12-71):
+
+      log_slope = a_pos + 0.5*(a_neg - a_pos)*(1 - sign(x));  y = x*exp(ls)
+
+    The reverse pass negates log_slope; slopes are strictly positive so
+    sign(y) == sign(x) and the same selector works in both directions.
+    logdet = sum(log_slope) over non-batch dims (sign convention: -j rev).
+    """
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    ap = params["alpha_pos"].reshape(shape)
+    an = params["alpha_neg"].reshape(shape)
+    ls = ap + 0.5 * (an - ap) * (1.0 - jnp.sign(x).astype(jnp.float32))
+    if rev:
+        ls = -ls
+    y = x * jnp.exp(ls).astype(x.dtype)
+    j = jnp.sum(ls.reshape(x.shape[0], -1), axis=1)
+    return y, j
+
+
+def init_inv_auto_fc(key, c_in: int, c_out: int | None = None):
+    """W ~ N(0, 1/c_out) of shape (c_out, c_in), bias ~ N(0, 1)
+    (inv_auto_layers.py:196-198)."""
+    c_out = c_in if c_out is None else c_out
+    kw, kb = jax.random.split(key)
+    return {
+        "w": jax.random.normal(kw, (c_out, c_in)) * np.sqrt(1.0 / c_out),
+        "b": jax.random.normal(kb, (c_out,)),
+    }
+
+
+def inv_auto_fc(params, x, rev=False):
+    """Fully-connected invertible-autoencoder layer (arXiv 1802.06869;
+    inv_auto_layers.py:172-216): the reverse applies W^T rather than a true
+    inverse, so fwd∘rev is only the identity once W converges to orthogonal.
+    The log-det is intractable and reported as 0 exactly like the reference
+    (which warns and returns 0.)."""
+    w = params["w"].astype(x.dtype)
+    b = params["b"].astype(x.dtype)
+    if rev:
+        return (x - b) @ w, jnp.zeros((x.shape[0],), jnp.float32)
+    return x @ w.T + b, jnp.zeros((x.shape[0],), jnp.float32)
+
+
+def init_inv_auto_conv2d(key, c_in: int, c_out: int | None = None,
+                         kernel_size: int = 3):
+    c_out = c_in if c_out is None else c_out
+    kw, kb = jax.random.split(key)
+    fan = c_in * kernel_size * kernel_size
+    lim = np.sqrt(1.0 / fan)        # torch Conv2d default U(-1/sqrt(fan), .)
+    return {
+        "w": jax.random.uniform(kw, (c_out, c_in, kernel_size, kernel_size),
+                                minval=-lim, maxval=lim),
+        "b": jax.random.normal(kb, (c_out,)),
+    }
+
+
+def inv_auto_conv2d(params, x, rev=False, padding: int | None = None):
+    """Convolutional invertible-autoencoder layer (inv_auto_layers.py:218-272).
+    Forward: conv2d(x, W) + b.  Reverse: conv_transpose2d(x - b, W) — the
+    adjoint of the forward conv, expressed as a conv with the kernel flipped
+    spatially, in/out channels swapped, and SAME-adjoint padding k-1-p.
+    x: (B, C, H, W).  logdet reported as 0 (intractable; see inv_auto_fc)."""
+    w = params["w"].astype(x.dtype)
+    b = params["b"].astype(x.dtype)[None, :, None, None]
+    k = w.shape[-1]
+    p = k // 2 if padding is None else padding
+    zero_j = jnp.zeros((x.shape[0],), jnp.float32)
+    if not rev:
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(p, p)] * 2,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        return y + b, zero_j
+    wt = jnp.transpose(w, (1, 0, 2, 3))[:, :, ::-1, ::-1]
+    y = jax.lax.conv_general_dilated(
+        x - b, wt, (1, 1), [(k - 1 - p, k - 1 - p)] * 2,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return y, zero_j
+
+
 def init_learned_elementwise_scaling(shape):
     return {"s": jnp.zeros(shape, jnp.float32)}
 

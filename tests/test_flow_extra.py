@@ -170,3 +170,60 @@ def test_deprecated_shims():
             fd.ReversibleGraphNet([], ind_in=[0])
         with pytest.raises(ValueError):
             fd.ReversibleGraphNet([], ind_out=[0])
+
+
+def test_inv_auto_act_two_sided():
+    p = fx.init_inv_auto_act_two_sided(3, init_pos=2.0, init_neg=0.5)
+    x = jnp.asarray(
+        np.linspace(-2, 2, 24).astype(np.float32).reshape(2, 3, 2, 2))
+    y, jf = fx.inv_auto_act_two_sided(p, x)
+    # golden slopes: x>0 scaled by init_pos, x<0 by init_neg
+    want = np.where(np.asarray(x) > 0, np.asarray(x) * 2.0,
+                    np.asarray(x) * 0.5)
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-5)
+    x2, jr = fx.inv_auto_act_two_sided(p, y, rev=True)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jf), -np.asarray(jr), atol=1e-5)
+    # analytic logdet: sum of log-slopes over non-batch dims
+    ls = np.where(np.asarray(x) > 0, np.log(2.0), np.log(0.5))
+    ls = np.where(np.asarray(x) == 0, 0.5 * np.log(2.0 * 0.5), ls)
+    np.testing.assert_allclose(np.asarray(jf), ls.reshape(2, -1).sum(1),
+                               atol=1e-5)
+
+
+def test_inv_auto_fc():
+    key = jax.random.PRNGKey(0)
+    p = fx.init_inv_auto_fc(key, 6)
+    x = jnp.asarray(np.random.RandomState(1).randn(4, 6).astype(np.float32))
+    y, j = fx.inv_auto_fc(p, x)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(x) @ np.asarray(p["w"]).T
+        + np.asarray(p["b"]), rtol=1e-4, atol=1e-5)
+    assert float(jnp.abs(j).max()) == 0.0
+    # with an exactly-orthogonal W the W^T reverse is a true inverse
+    q, _ = np.linalg.qr(np.random.RandomState(2).randn(6, 6))
+    po = {"w": jnp.asarray(q.astype(np.float32)), "b": p["b"]}
+    y, _ = fx.inv_auto_fc(po, x)
+    x2, _ = fx.inv_auto_fc(po, y, rev=True)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
+
+
+def test_inv_auto_conv2d_matches_torch():
+    import torch
+    import torch.nn.functional as F
+    key = jax.random.PRNGKey(3)
+    p = fx.init_inv_auto_conv2d(key, 3, 5, kernel_size=3)
+    x = np.random.RandomState(4).randn(2, 3, 8, 8).astype(np.float32)
+    y, _ = fx.inv_auto_conv2d(p, jnp.asarray(x))
+    wt = torch.from_numpy(np.asarray(p["w"]))
+    bt = torch.from_numpy(np.asarray(p["b"]))
+    want = F.conv2d(torch.from_numpy(x), wt, padding=1) \
+        + bt.view(1, -1, 1, 1)
+    np.testing.assert_allclose(np.asarray(y), want.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    z = np.random.RandomState(5).randn(2, 5, 8, 8).astype(np.float32)
+    xr, _ = fx.inv_auto_conv2d(p, jnp.asarray(z), rev=True)
+    want_r = F.conv_transpose2d(torch.from_numpy(z) - bt.view(1, -1, 1, 1),
+                                wt, padding=1)
+    np.testing.assert_allclose(np.asarray(xr), want_r.numpy(),
+                               rtol=1e-4, atol=1e-5)
