@@ -159,3 +159,22 @@ class XLFMReconstructor:
         # ONE amortized figure: the enqueue-N/fetch-last design cannot
         # observe per-repeat times, so no min/best statistic exists
         return frames / total
+
+    def latency_ms(self, raw_image, n: int = 20):
+        """Single-frame end-to-end latency (the reference's headline is a
+        LATENCY: ~0.16 s/frame, README.md:29): one batch-1 execution per
+        measurement, each closed by a tiny output fetch (block_until_ready
+        is not a reliable barrier through the remote tunnel).  Returns
+        (p50_ms, min_ms) over n calls.  The per-call fetch rides the
+        tunnel RPC, so this UPPER-bounds device latency; amortized batch-1
+        throughput (``throughput``) bounds it from below."""
+        import time
+
+        assert raw_image.shape[0] == 1, raw_image.shape
+        times = []
+        np.asarray(self(raw_image)[0, 0, 0, :4])      # warm
+        for _ in range(n):
+            t0 = time.perf_counter()
+            np.asarray(self(raw_image)[0, 0, 0, :4])
+            times.append((time.perf_counter() - t0) * 1e3)
+        return float(np.percentile(times, 50)), float(np.min(times))
