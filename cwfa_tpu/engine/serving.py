@@ -57,6 +57,7 @@ class ServiceStats:
             "throughput_fps": round(self.throughput_fps, 3),
             "batch_latency_p50_s": round(self.latency_percentile(50), 4),
             "batch_latency_p95_s": round(self.latency_percentile(95), 4),
+            "batch_latency_p99_s": round(self.latency_percentile(99), 4),
             # device->host volume fetch: on an attached TPU host this is
             # PCIe (GB/s, negligible); through the axon development tunnel
             # it is an HTTP stream at ~16 MB/s and dominates end-to-end
