@@ -196,3 +196,18 @@ def test_int8_requires_deterministic():
         XLFMReconstructor(model, params, mstate, stats, vidx, caches,
                           deterministic=False, use_int8=True,
                           calib_frames=np.asarray(frames))
+
+
+def test_latency_ms_batch1():
+    """latency_ms measures single-frame calls: returns (p50, min) floats,
+    p50 >= min > 0, and rejects batches (the reference headline it mirrors
+    is a per-frame latency, README.md:29)."""
+    import pytest
+    cfg = _cfg()
+    model, params, mstate, vidx, caches, stats, frames = _setup(cfg)
+    recon = XLFMReconstructor(model, params, mstate, stats, vidx, caches,
+                              deterministic=True)
+    p50, mn = recon.latency_ms(frames[:1], n=3)
+    assert p50 >= mn > 0.0
+    with pytest.raises(AssertionError):
+        recon.latency_ms(frames, n=1)
