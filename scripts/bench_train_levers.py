@@ -53,6 +53,7 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     nrep = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    stage = sys.argv[3] if len(sys.argv) > 3 else "all"   # cse | steps | all
     cfg, model, params, mstate, stats, vidx, img = _flagship(small=False)
     rng = np.random.RandomState(1)
     side = cfg.volume_side_size
@@ -100,11 +101,15 @@ def main():
         return f_rev(fk, cv), f_fwd(fk, cv)
 
     fk0 = params["flow"][0]
-    tr, tf, tb = (_flops(f_rev, fk0, cv0), _flops(f_fwd, fk0, cv0),
-                  _flops(f_both, fk0, cv0))
-    print(f"tower-CSE check (compile-only TFLOP): rev {tr:.3f} + fwd "
-          f"{tf:.3f} = {tr+tf:.3f} vs both {tb:.3f} -> "
-          f"{'CSE ACTIVE' if tb < 0.9*(tr+tf) else 'NO CSE'}", flush=True)
+    if stage in ("cse", "all"):
+        tr, tf, tb = (_flops(f_rev, fk0, cv0), _flops(f_fwd, fk0, cv0),
+                      _flops(f_both, fk0, cv0))
+        print(f"tower-CSE check (compile-only TFLOP): rev {tr:.3f} + fwd "
+              f"{tf:.3f} = {tr+tf:.3f} vs both {tb:.3f} -> "
+              f"{'CSE ACTIVE' if tb < 0.9*(tr+tf) else 'NO CSE'}",
+              flush=True)
+    if stage == "cse":
+        return
 
     def make_step(remat_cond=False):
         cond_fn = cond_network
@@ -142,8 +147,12 @@ def main():
 
     key = jax.random.PRNGKey(0)
     results = {}
-    for name, kw in [("baseline", {}),
-                     ("remat_cond", {"remat_cond": True})]:
+    variants = [("baseline", {}), ("remat_cond", {"remat_cond": True})]
+    if stage == "steps_base":
+        variants = variants[:1]
+    elif stage == "steps_remat":
+        variants = variants[1:]
+    for name, kw in variants:
         step = make_step(**kw)
         t0 = time.perf_counter()
         out = step(params["flow"][0], params["cond"][0], opt_f, opt_c, key)
