@@ -283,7 +283,18 @@ class CWFATrainer:
 
                 def cnn_cond(ck, vn, kk):
                     from cwfa_tpu.models.cond_net import cond_network
-                    return cond_network(ck, vn.astype(dt), train=True, rng=kk)
+                    fn = lambda c, v, r: cond_network(c, v.astype(dt),
+                                                      train=True, rng=r)
+                    if os.environ.get("CWFA_TRAIN_REMAT_COND"):
+                        # memory lever, measured round 4
+                        # (scripts/bench_train_levers.py): jax.checkpoint on
+                        # the cond net drops the flow step's temp HBM 7.33
+                        # -> 4.53 GiB (+4.6% step time at batch 1) — the
+                        # knob that unlocks per-chip batch > 2 (batch 4
+                        # OOMed at the baseline footprint).  Off by default:
+                        # the shipped batch-1 schedule prefers the time.
+                        fn = jax.checkpoint(fn)
+                    return fn(ck, vn, kk)
 
                 (full, (loss_c, nll, recon)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)((flow_k, cond_k))

@@ -339,3 +339,46 @@ def test_save_model_zero_skips_checkpoints(tmp_path_factory, tmp_path):
         tr.fit(cat, None, None)
         ckpts = [f for f in os.listdir(out) if f.startswith("model_step_")]
         assert bool(ckpts) == bool(expect), (save_model, ckpts)
+
+
+def test_train_remat_cond_env_flag(monkeypatch, tmp_path):
+    """CWFA_TRAIN_REMAT_COND wraps the flow-step cond net in jax.checkpoint
+    — numerics must be identical to the baseline step (remat changes the
+    backward schedule, not the math)."""
+    import numpy as np
+    import jax
+
+    from cwfa_tpu.config import CWFAConfig
+    from cwfa_tpu.data.stats import DatasetStatistics
+    from cwfa_tpu.data.views import make_view_indices
+    from cwfa_tpu.engine.trainer import CWFATrainer
+    from cwfa_tpu.models.cwfa_model import CWFAModel
+
+    cfg = CWFAConfig(n_depths=8, volume_side_size=16, n_lenslets=4,
+                     INN_max_down_steps=2, INN_n_blocks=2,
+                     INN_internal_chans=8, INN_cond_chans=4,
+                     use_half_precision=0).decode_lrs()
+    model = CWFAModel.build(cfg)
+    stats = DatasetStatistics(10.0, 5.0, 10.0, 5.0, 1.0, 0.5)
+    coords = np.array([[8, 8], [8, 40], [40, 8], [40, 40]])
+    vidx = make_view_indices(coords, (64, 64), (16, 16))
+    rng = np.random.RandomState(0)
+    views = rng.randn(1, 4, 16, 16).astype(np.float32)
+    mean_c = rng.randn(1, 4, 16, 16).astype(np.float32)
+    gt = rng.randn(1, 8, 16, 16).astype(np.float32)
+    ups = rng.randn(1, 4, 16, 16).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+
+    def run_step():
+        tr = CWFATrainer(model, stats, vidx, seed=0)
+        out = tr._flow_steps[0](tr.params["flow"][0], tr.params["cond"][0],
+                                tr.opt_flow[0], tr.opt_cond[0], views,
+                                mean_c, gt, ups, key)
+        return [np.asarray(x) for x in jax.tree_util.tree_leaves(out)]
+
+    monkeypatch.delenv("CWFA_TRAIN_REMAT_COND", raising=False)
+    base = run_step()
+    monkeypatch.setenv("CWFA_TRAIN_REMAT_COND", "1")
+    remat = run_step()
+    for a, b in zip(base, remat):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
