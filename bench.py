@@ -197,8 +197,13 @@ def _train_step_times(cfg, model, params, mstate, stats, mean_caches,
     opt_f = tx_flow.init(params["flow"][0])
     opt_c = tx_cond.init(params["cond"][0])
 
+    # batch arrays are ARGUMENTS, not closure constants: closed-over
+    # arrays are embedded in the HLO and ride inside every remote-compile
+    # request (measured round 4: a batch-2 closure variant overflowed the
+    # compile service's body limit with HTTP 413)
     @jax.jit
-    def lrnn_step(params, mstate, opt_l, key):
+    def lrnn_step(params, mstate, opt_l, key, views_n, mean_lrnn,
+                  gt_coarse):
         def loss(lp):
             out, st = model.run_lrnn({**params, "lrnn": lp}, mstate,
                                      views_n.astype(dt),
@@ -211,7 +216,8 @@ def _train_step_times(cfg, model, params, mstate, stats, mean_caches,
         return optax.apply_updates(params["lrnn"], up), l
 
     @jax.jit
-    def flow_step(fk, ck, opt_f, opt_c, key):
+    def flow_step(fk, ck, opt_f, opt_c, key, views_n, gt0, upsampled,
+                  c_mean0):
         def loss(args):
             fk, ck = args
             cv = cond_network(ck, views_n.astype(dt), train=True, rng=key)
@@ -234,21 +240,22 @@ def _train_step_times(cfg, model, params, mstate, stats, mean_caches,
 
     out = {}
     key = jax.random.PRNGKey(0)
-    lp, l = lrnn_step(params, mstate, opt_l, key)
+    la = (params, mstate, opt_l, key, views_n, mean_lrnn, gt_coarse)
+    lp, l = lrnn_step(*la)
     np.asarray(l)                              # compile + sync
     t0 = time.perf_counter()
     for _ in range(n_repeats):
-        lp, l = lrnn_step(params, mstate, opt_l, key)
+        lp, l = lrnn_step(*la)
     np.asarray(l)
     out["lrnn_stage"] = round((time.perf_counter() - t0) / n_repeats * 1e3, 1)
 
-    fk, ck, l = flow_step(params["flow"][0], params["cond"][0], opt_f, opt_c,
-                          key)
+    fa = (params["flow"][0], params["cond"][0], opt_f, opt_c, key,
+          views_n, gt0, upsampled, c_mean0)
+    fk, ck, l = flow_step(*fa)
     np.asarray(l)
     t0 = time.perf_counter()
     for _ in range(n_repeats):
-        fk, ck, l = flow_step(params["flow"][0], params["cond"][0], opt_f,
-                              opt_c, key)
+        fk, ck, l = flow_step(*fa)
     np.asarray(l)
     out["flow_step0"] = round((time.perf_counter() - t0) / n_repeats * 1e3, 1)
     return out

@@ -119,7 +119,12 @@ def main():
                 static_argnums=())
 
         @jax.jit
-        def step(fk, ck, opt_f, opt_c, key):
+        def step(fk, ck, opt_f, opt_c, key, views_n, gt0, upsampled,
+                 c_mean0):
+            # batch arrays are ARGUMENTS, not closure constants — closed-
+            # over arrays ride inside the remote-compile request body
+            # (batch 2 closures overflowed the service's length limit,
+            # HTTP 413)
             def loss(args):
                 fk, ck = args
                 if remat_cond:
@@ -154,19 +159,19 @@ def main():
         variants = variants[1:]
     for name, kw in variants:
         step = make_step(**kw)
+        args = (params["flow"][0], params["cond"][0], opt_f, opt_c, key,
+                views_n, gt0, upsampled, c_mean0)
         t0 = time.perf_counter()
-        out = step(params["flow"][0], params["cond"][0], opt_f, opt_c, key)
+        out = step(*args)
         np.asarray(out[-1])
         print(f"{name}: compile+1st {time.perf_counter()-t0:.0f}s",
               flush=True)
-        dtm = timeit(lambda: step(params["flow"][0], params["cond"][0],
-                                  opt_f, opt_c, key), n=nrep)
+        dtm = timeit(lambda: step(*args), n=nrep)
         results[name] = dtm * 1e3
         print(f"{name:>12}: {dtm*1e3:7.1f} ms", flush=True)
         # compile-only memory analysis (peak) for the OOM question
         try:
-            lowered = step.lower(params["flow"][0], params["cond"][0],
-                                 opt_f, opt_c, key)
+            lowered = step.lower(*args)
             ma = lowered.compile().memory_analysis()
             peak = getattr(ma, "temp_size_in_bytes", None)
             print(f"{name:>12}: temp bytes {peak/2**30:.2f} GiB"
