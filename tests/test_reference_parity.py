@@ -271,3 +271,81 @@ def test_load_torch_checkpoints_into_trainer(ref_modules, tmp_path):
                                jnp.asarray(cm))
     np.testing.assert_allclose(np.asarray(z), z_ref.numpy(), atol=2e-4,
                                rtol=1e-4)
+
+
+def test_export_roundtrip_graph(converted, ref_modules):
+    """torch_export.export_graph_inn must produce a state dict the
+    REFERENCE model itself accepts with strict=True and that reproduces
+    the original forward (zero-filled unused dual blocks are dead in the
+    reference forward)."""
+    import jax.numpy as jnp
+    from cwfa_tpu.engine.torch_export import export_graph_inn
+
+    sd = export_graph_inn(converted["spec"], converted["params"])
+    _, fresh = _build_reference_step(ref_modules)
+    missing, unexpected = fresh.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()}, strict=True)
+    assert not missing and not unexpected
+    rng = np.random.RandomState(11)
+    vol = rng.randn(1, D, S, S).astype(np.float32)
+    cv = rng.randn(1, D // 2, S, S).astype(np.float32)
+    cm = rng.randn(1, D // 2, S, S).astype(np.float32)
+    with torch.no_grad():
+        (z_a, avg_a), ld_a = converted["ref_graph"](
+            torch.from_numpy(vol),
+            c=[torch.from_numpy(cv), torch.from_numpy(cm)])
+        (z_b, avg_b), ld_b = fresh(
+            torch.from_numpy(vol),
+            c=[torch.from_numpy(cv), torch.from_numpy(cm)])
+    np.testing.assert_allclose(z_b.numpy(), z_a.numpy(), atol=1e-6)
+    np.testing.assert_allclose(avg_b.numpy(), avg_a.numpy(), atol=1e-6)
+    np.testing.assert_allclose(ld_b.numpy(), ld_a.numpy(), atol=1e-5)
+
+
+def test_export_roundtrip_cond(converted, ref_modules):
+    from cwfa_tpu.engine.torch_export import export_cond_network
+
+    sd = export_cond_network(converted["cond_params"])
+    np.random.seed(SEED)
+    torch.manual_seed(SEED)
+    fresh = ref_modules.cond_network(4, D // 2, 1, 5, [], 4).eval()
+    missing, unexpected = fresh.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()}, strict=True)
+    assert not missing and not unexpected
+    rng = np.random.RandomState(12)
+    x = rng.randn(1, 4, S, S).astype(np.float32)
+    with torch.no_grad():
+        ref = converted["ref_cond"](torch.from_numpy(x))[-1].numpy()
+        got = fresh(torch.from_numpy(x))[-1].numpy()
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_export_roundtrip_lrnn(ref_modules, monkeypatch):
+    """Export our converted LRNN back into a fresh reference Encoder
+    (strict), forward-compare without the mean branch (its LayerNorm
+    hard-codes 512^2; the reference's always-training F.dropout2d is
+    patched to identity exactly as in test_lrnn_parity)."""
+    import torch.nn.functional as F
+    monkeypatch.setattr(F, "dropout2d", lambda x, *a, **k: x)
+    from cwfa_tpu.engine.torch_convert import convert_lrnn
+    from cwfa_tpu.engine.torch_export import export_lrnn
+
+    torch.manual_seed(7)
+    enc = ref_modules.Encoder(4, 4, 1, [], use_bias=False).eval()
+    sd0 = {k: v.detach().numpy() for k, v in enc.state_dict().items()}
+    params, state = convert_lrnn(sd0)
+    sd = export_lrnn(params, state)
+    torch.manual_seed(8)
+    fresh = ref_modules.Encoder(4, 4, 1, [], use_bias=False).eval()
+    missing, unexpected = fresh.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()}, strict=True)
+    assert not missing and not unexpected
+    rng = np.random.RandomState(13)
+    x = rng.randn(1, 4, S, S).astype(np.float32)
+    with torch.no_grad():
+        a = enc(torch.from_numpy(x))[-1].numpy()
+        b = fresh(torch.from_numpy(x))[-1].numpy()
+    np.testing.assert_allclose(b, a, atol=1e-6)

@@ -1,0 +1,75 @@
+"""Full-cycle checkpoint interop: export a cwfa_tpu model as reference
+``model_step_<s>__ep_<e>`` torch files (engine/torch_export.py), then load
+them back through the trainer's reference-checkpoint path
+(load_torch_checkpoints -> engine/torch_convert) and require parameter
+equality — TPU -> torch -> TPU is lossless.  (The torch -> reference-model
+direction is pinned by the strict-load round-trips in
+tests/test_reference_parity.py.)"""
+
+import numpy as np
+import jax
+import pytest
+
+pytest.importorskip("torch")
+
+from cwfa_tpu.config import CWFAConfig
+from cwfa_tpu.data.stats import DatasetStatistics
+from cwfa_tpu.data.views import make_view_indices
+from cwfa_tpu.engine.torch_export import export_torch_checkpoints
+from cwfa_tpu.engine.trainer import CWFATrainer
+from cwfa_tpu.models.cwfa_model import CWFAModel
+
+
+def test_export_then_load_torch_checkpoints_roundtrip(tmp_path):
+    cfg = CWFAConfig(n_depths=8, volume_side_size=16, n_lenslets=4,
+                     INN_max_down_steps=2, INN_n_blocks=2,
+                     INN_internal_chans=8, INN_cond_chans=4).decode_lrs()
+    model = CWFAModel.build(cfg)
+    params, mstate = model.init(jax.random.PRNGKey(5))
+    # nontrivial BN running stats must survive the cycle by VALUE
+    mstate = jax.tree_util.tree_map(
+        lambda x: x + (0.25 if np.issubdtype(np.asarray(x).dtype,
+                                             np.floating) else 0), mstate)
+    stats = DatasetStatistics(10.0, 5.0, 10.0, 5.0, 1.0, 0.5)
+
+    out = str(tmp_path / "ckpt")
+    written = export_torch_checkpoints(out, cfg, model, params, mstate,
+                                       stats=stats, epoch=3)
+    assert len(written) == model.n_flow_steps + 1
+
+    coords = np.array([[8, 8], [8, 40], [40, 8], [40, 40]])
+    vidx = make_view_indices(coords, (64, 64), (16, 16))
+    tr = CWFATrainer(model, stats, vidx, seed=1)
+    loaded = tr.load_torch_checkpoints(out)
+    assert len(loaded) == model.n_flow_steps + 1
+
+    for k in range(model.n_flow_steps):
+        a = jax.tree_util.tree_leaves(params["flow"][k])
+        b = jax.tree_util.tree_leaves(tr.params["flow"][k])
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-6)
+        a = jax.tree_util.tree_leaves(params["cond"][k])
+        b = jax.tree_util.tree_leaves(tr.params["cond"][k])
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-6)
+        # permutation buffers survive the cycle
+        for e_new, e_old in zip(tr.model.step_specs[k].perms,
+                                model.step_specs[k].perms):
+            np.testing.assert_array_equal(e_new[-2], e_old[-2])
+            np.testing.assert_array_equal(e_new[-1], e_old[-1])
+    a = jax.tree_util.tree_leaves(params["lrnn"])
+    b = jax.tree_util.tree_leaves(tr.params["lrnn"])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+    # BN running stats ride along by value (mean/var; the count leaf is
+    # reset — torch's num_batches_tracked does not map onto it)
+    for side in ("down", "up"):
+        for blk_a, blk_b in zip(mstate["lrnn"]["unet"][side],
+                                tr.mstate["lrnn"]["unet"][side]):
+            for tag in ("bn1", "bn2"):
+                for f in ("mean", "var"):
+                    np.testing.assert_allclose(
+                        np.asarray(blk_a[tag][f]),
+                        np.asarray(blk_b[tag][f]), atol=1e-6)
