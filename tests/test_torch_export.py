@@ -73,3 +73,45 @@ def test_export_then_load_torch_checkpoints_roundtrip(tmp_path):
                     np.testing.assert_allclose(
                         np.asarray(blk_a[tag][f]),
                         np.asarray(blk_b[tag][f]), atol=1e-6)
+
+
+def test_export_torch_cli_end_to_end(tmp_path):
+    """msgpack checkpoints -> cli.export_torch -> torch files that import
+    back to the same parameters (config + stats read from the payloads)."""
+    from cwfa_tpu.engine.checkpoints import save_step_checkpoint
+    from cwfa_tpu.cli.export_torch import main as export_main
+    from cwfa_tpu.engine import torch_convert as tc
+
+    cfg = CWFAConfig(n_depths=8, volume_side_size=16, n_lenslets=4,
+                     INN_max_down_steps=2, INN_n_blocks=2,
+                     INN_internal_chans=8, INN_cond_chans=4).decode_lrs()
+    model = CWFAModel.build(cfg)
+    params, mstate = model.init(jax.random.PRNGKey(9))
+    stats = DatasetStatistics(10.0, 5.0, 10.0, 5.0, 1.0, 0.5)
+    src = str(tmp_path / "msgpack")
+    nf = model.n_flow_steps
+    for k in range(nf):
+        save_step_checkpoint(src, k + 1, 7, cfg,
+                             inn_params=params["flow"][k],
+                             cond_params=params["cond"][k],
+                             train_statistics=stats)
+    save_step_checkpoint(src, nf + 1, 7, cfg,
+                         cond_params=params["lrnn"],
+                         train_statistics=stats,
+                         model_state=mstate["lrnn"])
+
+    out = str(tmp_path / "torch")
+    export_main(["--pretrain_models_path", src, "--output_path", out])
+
+    import os
+    files = sorted(os.listdir(out))
+    assert files == [f"model_step_{s}__ep_7" for s in range(1, nf + 2)]
+    payload = tc.load_torch_state_dict(os.path.join(out, "model_step_1__ep_7"))
+    fparams, perms = tc.convert_graph_inn(payload["INN_state_dict"],
+                                          n_blocks=cfg.INN_n_blocks,
+                                          use_final_perm=True)
+    a = jax.tree_util.tree_leaves(params["flow"][0])
+    b = jax.tree_util.tree_leaves(fparams)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+    assert len(payload["training_statistics"]) == 6
