@@ -61,3 +61,23 @@ def test_cond_pair_weights_roundtrip_exact_on_delta():
     want2 = np.zeros_like(want)
     want2[:, :, 1:, :] = want[:, :, 1:, :]
     np.testing.assert_allclose(got, want2, atol=1e-6)
+
+
+def test_cond_pair_fused_slab_path():
+    """Depths beyond the 16-chunk lane capacity run in overlapping slabs
+    whose outputs must concatenate exactly (exercised with a reduced
+    max_chunks so the test stays small)."""
+    d, h, w = 24, 16, 16     # 6 chunks; max_chunks=4 forces 2 slabs
+    key = jax.random.PRNGKey(7)
+    p = _pair_params(key, d)
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, d, h, w), jnp.float32)
+    act = lambda u: cnn.prelu(p["prelu"], u)
+    want = np.asarray(_conv3d_pair_depthbatch(p, x, act, 0.0, None))
+    got = np.asarray(cond_pair.cond_pair_fused(x, p, th=8, interpret=True,
+                                               max_chunks=4))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=3e-2 * scale, rtol=5e-2)
+    # and against the single-slab kernel result (same kernel numerics ->
+    # tight tolerance: slabbing must be numerically invisible)
+    one = np.asarray(cond_pair.cond_pair_fused(x, p, th=8, interpret=True))
+    np.testing.assert_allclose(got, one, atol=1e-6)
