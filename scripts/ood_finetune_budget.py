@@ -100,16 +100,22 @@ def main():
                       epochs_per_step=2, verbose=True)
     t_ft = time.time() - t0
 
+    nsteps = trainer.model.n_flow_steps + 1
     lines = [
         f"OOD finetune budget, round 4 (flagship 512x512x96, 2160^2 "
         f"camera, bf16-AMP, batch_size={batch}, one v5e chip)",
-        f"protocol: {n_frames} frames x 5 pyramid steps x 2 epochs "
+        f"protocol: {n_frames} frames x {nsteps} pyramid steps x 2 epochs "
         "(reference README.md:22 '~5 minutes of retraining')",
         f"detect_ood: {t_detect:.1f}s ({n_frames/t_detect:.2f} frames/s)",
         f"finetune wall: {t_ft:.1f}s ({t_ft/60:.2f} min) vs reference "
         f"~5 min -> {300.0/t_ft:.2f}x",
+        f"per frame-step-epoch: {t_ft/(n_frames*nsteps*2)*1e3:.0f} ms "
+        f"(50-frame protocol extrapolation: "
+        f"{t_ft/(n_frames*nsteps*2)*50*nsteps*2/60:.2f} min)",
         "(synthetic in-memory frames; TIFF ingest excluded — see module "
-        "docstring)",
+        "docstring.  NOTE this rig feeds the chip through the axon tunnel; "
+        "host->device upload is tunnel-limited, so the wall time is an "
+        "UPPER bound vs a host-attached TPU's PCIe feeding)",
     ]
     out = "\n".join(lines) + "\n"
     print(out, flush=True)
