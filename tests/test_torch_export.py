@@ -115,3 +115,10 @@ def test_export_torch_cli_end_to_end(tmp_path):
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
     assert len(payload["training_statistics"]) == 6
+
+
+def test_export_torch_cli_empty_dir_errors(tmp_path):
+    from cwfa_tpu.cli.export_torch import main as export_main
+    with pytest.raises(SystemExit):
+        export_main(["--pretrain_models_path", str(tmp_path),
+                     "--output_path", str(tmp_path / "out")])
