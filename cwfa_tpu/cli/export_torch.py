@@ -9,7 +9,10 @@ handed back to a reference deployment.
 
 The architecture config, normalization statistics, and epoch come from the
 checkpoints themselves (they ride in every file, matching the reference's
-'args'/'training_statistics' payload convention).
+'args'/'training_statistics' payload convention).  Every pyramid step
+MUST have a checkpoint: a step silently exported from random init would
+strict-load into the reference and reconstruct garbage, so missing steps
+are a hard error.
 
 Usage:
     python -m cwfa_tpu.cli.export_torch \
@@ -26,7 +29,7 @@ def main(argv=None):
 
     from cwfa_tpu.engine.checkpoints import (discover_checkpoints,
                                              load_step_checkpoint,
-                                             restore_like)
+                                             restore_params_from_payloads)
     from cwfa_tpu.engine.torch_export import export_torch_checkpoints
     from cwfa_tpu.models.cwfa_model import CWFAModel
 
@@ -39,41 +42,31 @@ def main(argv=None):
                    help="epoch cap on checkpoint discovery")
     args = p.parse_args(argv)
 
+    # discover ONLY msgpack files: filtering a mixed-format directory
+    # after highest-epoch selection could silently drop a step whose best
+    # epoch lives in a reference torch file
     found = discover_checkpoints(args.pretrain_models_path,
+                                 prefix="model_step_*__ep_*.msgpack",
                                  max_epoch=args.max_test_load_epoch)
-    found = {s: (e, f) for s, (e, f) in found.items()
-             if f.endswith(".msgpack")}
     if not found:
         raise SystemExit(
             f"no .msgpack step checkpoints under {args.pretrain_models_path}")
 
-    # architecture + stats from the first checkpoint's payload
-    _, cfg, stats = load_step_checkpoint(sorted(found.values())[0][1])
+    # architecture from the first checkpoint's payload
+    _, cfg, _ = load_step_checkpoint(sorted(found.values())[0][1])
     model = CWFAModel.build(cfg)
-    params, mstate = model.init(jax.random.PRNGKey(0))
     nf = model.n_flow_steps
-    max_epoch = 0
-    for step, (ep, fname) in sorted(found.items()):
-        payload, _, st = load_step_checkpoint(fname)
-        stats = stats or st
-        max_epoch = max(max_epoch, int(ep))
-        ix = step - 1
-        if ix < nf and payload["INN_state_dict"]:
-            flow = list(params["flow"])
-            flow[ix] = restore_like(flow[ix], payload["INN_state_dict"])
-            params = {**params, "flow": flow}
-        if payload["condition_state_dict"]:
-            if ix >= nf:
-                params = {**params, "lrnn": restore_like(
-                    params["lrnn"], payload["condition_state_dict"])}
-            else:
-                cond = list(params["cond"])
-                cond[ix] = restore_like(cond[ix],
-                                        payload["condition_state_dict"])
-                params = {**params, "cond": cond}
-        ms = payload.get("model_state_dict")
-        if ms and ix >= nf:
-            mstate = {"lrnn": restore_like(mstate["lrnn"], ms)}
+    missing = [s for s in range(1, nf + 2) if s not in found]
+    if missing:
+        raise SystemExit(
+            f"steps {missing} have no .msgpack checkpoint under "
+            f"{args.pretrain_models_path} (found steps {sorted(found)}); "
+            "exporting them would write random-init weights the reference "
+            "strict-loads without complaint")
+
+    params, mstate = model.init(jax.random.PRNGKey(0))
+    params, mstate, stats, max_epoch = restore_params_from_payloads(
+        found, model, params, mstate)
 
     written = export_torch_checkpoints(args.output_path, cfg, model, params,
                                        mstate, stats=stats, epoch=max_epoch)

@@ -118,3 +118,39 @@ def restore_like(template, saved):
     """Restore ``saved`` (numpy pytree from msgpack, dict-keyed) into the
     structure of ``template`` (lists stay lists)."""
     return serialization.from_state_dict(template, saved)
+
+
+def restore_params_from_payloads(found: dict, model, params, mstate):
+    """Pure step->tree restore mapping shared by checkpoint consumers
+    (the same index convention as CWFATrainer.load_checkpoints, which
+    additionally handles stats/optimizers/LR overrides): file step s maps
+    to flow/cond index s-1; s = n_flow_steps+1 carries the LRNN params in
+    'condition_state_dict' and its BatchNorm state in 'model_state_dict'.
+
+    found: {step: (epoch, fname)} of .msgpack files.  Returns
+    (params, mstate, stats, max_epoch)."""
+    nf = model.n_flow_steps
+    stats = None
+    max_epoch = 0
+    for step, (ep, fname) in sorted(found.items()):
+        payload, _, st = load_step_checkpoint(fname)
+        stats = stats or st
+        max_epoch = max(max_epoch, int(ep))
+        ix = step - 1
+        if ix < nf and payload["INN_state_dict"]:
+            flow = list(params["flow"])
+            flow[ix] = restore_like(flow[ix], payload["INN_state_dict"])
+            params = {**params, "flow": flow}
+        if payload["condition_state_dict"]:
+            if ix >= nf:
+                params = {**params, "lrnn": restore_like(
+                    params["lrnn"], payload["condition_state_dict"])}
+            else:
+                cond = list(params["cond"])
+                cond[ix] = restore_like(cond[ix],
+                                        payload["condition_state_dict"])
+                params = {**params, "cond": cond}
+        ms = payload.get("model_state_dict")
+        if ms and ix >= nf:
+            mstate = {"lrnn": restore_like(mstate["lrnn"], ms)}
+    return params, mstate, stats, max_epoch

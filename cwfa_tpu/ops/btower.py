@@ -18,7 +18,7 @@ kernel closed that question for quantization; this one attacks the SCHEDULE):
 3. dx (column) taps come from f32 ``pltpu.roll`` pre-shifted canvases (the
    round-2 trick; bf16 is not rollable); dy taps are tile-aligned flat
    slices; the 3x3 conv is 9 accumulated (M,128)x(128,128) dots — the
-   VMEM-resident chained-dot regime scripts/bench_int8_micro4.py measured
+   VMEM-resident chained-dot regime (scripts/bench_int8_micro.py chain) measured
    at ~110 TF/s bf16 vs ~70 through HBM.
 
 Tower structure (reference networks.py:586-706, paired 128-wide by

@@ -278,9 +278,14 @@ def cond_pair_fused(x, params, *, th=4, out_dtype=jnp.float32,
     """Run the fused pair on x (B, D, H, W); returns (B, D, H, W).
     Depths beyond max_chunks*4 per call are processed in slabs whose
     canvases carry the 2-depth halo (window overlap), so slab outputs
-    concatenate exactly.  See module docstring — round-4 measurement
-    build."""
+    concatenate exactly.  Requires D %% 4 == 0 (the depth-chunk lane
+    packing); the D=6 cond net is NOT expressible in this packing — one
+    more reason the shipped path stays XLA.  See module docstring —
+    round-4 measurement build."""
     b, d, h, w = x.shape
+    assert d % T == 0, (
+        f"cond_pair_fused requires depth % {T} == 0, got D={d} (the "
+        f"slab pre-slice would otherwise silently truncate depths)")
     nc = d // T
     # slabs: one extra chunk each side rides along so the +-2-depth
     # window is fully populated; its output is cropped away

@@ -14,11 +14,12 @@ Levers measured here:
               y intermediate dominates stored activations); reports step
               time AND whether batch 4 stops OOMing (round-3 note:
               flagship train batch 4 OOMs).
-  unpaired  : consecutive-block tower pairing OFF under value_and_grad
-              (shipped = ON; the round-3 'mid' family optimum was chosen
-              on the INFERENCE path).
+(Tower pairing under value_and_grad is the SHIPPED training form —
+_cat_block_st pairs consecutive blocks in the loss path itself — so no
+separate 'unpaired' lever exists here.)
 
-Usage: python scripts/bench_train_levers.py [batch] [n_repeats]
+Usage: python scripts/bench_train_levers.py [batch] [n_repeats] \
+           [cse|steps_base|steps_remat|all]
 """
 import functools
 import sys

@@ -64,21 +64,24 @@ def main():
 
     from cwfa_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
-    from __graft_entry__ import _flagship
     from cwfa_tpu.config import CWFAConfig
     from cwfa_tpu.data.dataset import ConcatXLFMDataset
+    from cwfa_tpu.data.stats import DatasetStatistics
+    from cwfa_tpu.data.views import make_view_indices
     from cwfa_tpu.engine.ood import detect_ood, finetune_on_novel
     from cwfa_tpu.engine.trainer import CWFATrainer
-    from cwfa_tpu.data.views import make_view_indices
-
-    cfg0, model0, _, _, stats, vidx, img = _flagship(small=False)
-    cfg = CWFAConfig(use_half_precision=True, batch_size=batch).decode_lrs()
     from cwfa_tpu.models.cwfa_model import CWFAModel
+
+    img = 2160
+    stats = DatasetStatistics(100.0, 50.0, 100.0, 50.0, 10.0, 5.0)
+    cfg = CWFAConfig(use_half_precision=True, batch_size=batch).decode_lrs()
     model = CWFAModel.build(cfg)
 
     t0 = time.time()
     ds = build_inmem_dataset(cfg, img, n_frames)
     novel = ConcatXLFMDataset(ds)
+    side = cfg.volume_side_size
+    vidx = make_view_indices(ds.lenslet_coords, (img, img), (side, side))
     print(f"dataset built in {time.time()-t0:.0f}s "
           f"({ds.vols.nbytes/2**30:.1f} GiB vols)", flush=True)
 

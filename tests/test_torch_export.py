@@ -122,3 +122,22 @@ def test_export_torch_cli_empty_dir_errors(tmp_path):
     with pytest.raises(SystemExit):
         export_main(["--pretrain_models_path", str(tmp_path),
                      "--output_path", str(tmp_path / "out")])
+
+
+def test_export_torch_cli_missing_step_errors(tmp_path):
+    """A step without a msgpack checkpoint must be a hard error — exporting
+    it would write random-init weights the reference strict-loads."""
+    from cwfa_tpu.engine.checkpoints import save_step_checkpoint
+    from cwfa_tpu.cli.export_torch import main as export_main
+
+    cfg = CWFAConfig(n_depths=8, volume_side_size=16, n_lenslets=4,
+                     INN_max_down_steps=2, INN_n_blocks=2,
+                     INN_internal_chans=8, INN_cond_chans=4).decode_lrs()
+    model = CWFAModel.build(cfg)
+    params, _ = model.init(jax.random.PRNGKey(2))
+    src = str(tmp_path / "partial")
+    save_step_checkpoint(src, 1, 3, cfg, inn_params=params["flow"][0],
+                         cond_params=params["cond"][0])
+    with pytest.raises(SystemExit, match="no .msgpack checkpoint"):
+        export_main(["--pretrain_models_path", src,
+                     "--output_path", str(tmp_path / "out")])
