@@ -1089,6 +1089,10 @@ class CWFATrainer:
         """Load the highest-epoch checkpoint per step (CWFA.py:424-526),
         plus any persisted mean-volume caches found alongside.
 
+        (The pure step->tree mapping also exists as
+        engine.checkpoints.restore_params_from_payloads for consumers
+        that need no trainer — keep the index conventions in sync.)
+
         Discovery honors --max_test_load_epoch as an epoch cap, and
         --fine_tune_use_model_args re-creates each loaded flow step's
         optimizer with the LEARNING RATE stored in that checkpoint's config
