@@ -292,6 +292,20 @@ def _conv3d_pair(params, out, act, drop, rng, impl: str = "auto"):
         return _conv3d_pair_depthbatch(params, out, act, drop, rng)
     if impl == "depthtile":
         return _conv3d_pair_depthtile(params, out, act, drop, rng)
+    if impl == "pallas_fused":
+        # the round-4 fused VMEM kernel — measured 3.3-5.4x SLOWER than
+        # depthbatch on this platform (docs/CEILING.md; kept switchable
+        # like ops/qtower + ops/btower for hardware where the MXU fill /
+        # VPU trade-offs differ).  Inference-only; depth % 4 required.
+        if drop and rng is not None:
+            raise ValueError("pallas_fused cond pair is inference-only "
+                             "(no Dropout3d path)")
+        from cwfa_tpu.ops.cond_pair import cond_pair_fused
+        return cond_pair_fused(
+            out, {"c3a": params["c3a"], "c3b": params["c3b"],
+                  "prelu": params["prelu"]},
+            out_dtype=out.dtype,
+            interpret=jax.default_backend() != "tpu")
     return _conv3d_pair_direct(params, out, act, drop, rng)
 
 

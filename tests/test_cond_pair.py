@@ -81,3 +81,24 @@ def test_cond_pair_fused_slab_path():
     # tight tolerance: slabbing must be numerically invisible)
     one = np.asarray(cond_pair.cond_pair_fused(x, p, th=8, interpret=True))
     np.testing.assert_allclose(got, one, atol=1e-6)
+
+
+def test_cond_network_pallas_fused_impl():
+    """The full cond_network with conv3d_impl='pallas_fused' matches the
+    shipped depthbatch path (inference mode), and the dropout/training
+    combination is rejected."""
+    from cwfa_tpu.models.cond_net import cond_network
+
+    d = 8
+    key = jax.random.PRNGKey(3)
+    from cwfa_tpu.models.cond_net import init_cond_network
+    p = init_cond_network(key, 4, d)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 4, 16, 16),
+                          jnp.float32)
+    want = np.asarray(cond_network(p, x, conv3d_impl="depthbatch"))
+    got = np.asarray(cond_network(p, x, conv3d_impl="pallas_fused"))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=3e-2 * scale, rtol=5e-2)
+    with pytest.raises(ValueError, match="inference-only"):
+        cond_network(p, x, train=True, rng=jax.random.PRNGKey(5),
+                     conv3d_impl="pallas_fused")
