@@ -15,6 +15,7 @@ camera frame (XLFMDataset.py:160-162), volumes center depth-windowed
 from __future__ import annotations
 
 import glob
+import re
 import os
 
 import numpy as np
@@ -129,7 +130,17 @@ class XLFMDataset:
         self.n_images = imgs.shape[0]
         if images_to_use is None:
             images_to_use = list(range(self.n_images))
-        self.images_to_use = list(images_to_use)[:self.n_images]
+        if len(images_to_use) != self.n_images:
+            # reached only when the page count probe failed above AND the
+            # reader filtered internally: truncating would re-pair images
+            # with the wrong volume files (the exact misalignment the
+            # pre-filter exists to prevent) — refuse instead
+            raise ValueError(
+                f"requested {len(images_to_use)} pages but the reader "
+                f"returned {self.n_images}; out-of-range page indices "
+                f"could not be pre-filtered (page-count probe failed) — "
+                f"fix images_to_use or the image stack")
+        self.images_to_use = list(images_to_use)
 
         self.stacked_views = np.zeros((self.n_images,) + self.img_shape,
                                       np.float32)
@@ -143,6 +154,13 @@ class XLFMDataset:
             for idx_pos, img_ix in enumerate(self.images_to_use):
                 match = sorted(glob.glob(os.path.join(
                     data_path, "XLFM_stack", f"*{img_ix:03d}.tif")))
+                # the 3-digit-suffix glob (reference XLFMDataset.py layout)
+                # would also match e.g. *_1005.tif for frame 5 on >=1001-
+                # frame datasets; keep only files whose FULL trailing
+                # number equals the frame index
+                match = [m for m in match
+                         if (lambda g: g and int(g.group(1)) == img_ix)(
+                             re.search(r"(\d+)\.tif$", os.path.basename(m)))]
                 if not match:
                     raise FileNotFoundError(
                         f"volume for frame {img_ix} not found under {vols_glob}")
@@ -154,7 +172,10 @@ class XLFMDataset:
                                  np.float32)
             for i in range(self.n_images):
                 vol = first if i == 0 else read_tiff_stack(files[i])
-                vol = np.where(np.isinf(vol), 0, vol)
+                # clear NaN as well as Inf: one NaN voxel (a common RL-
+                # deconvolution artifact) would poison the dataset-wide
+                # mean/std and surface as NaN loss far from the cause
+                vol = np.where(np.isfinite(vol), vol, 0)
                 lo = vol.shape[0] // 2 - d_use // 2
                 self.vols[i] = vol[lo:lo + d_use]
         else:
@@ -244,6 +265,13 @@ class ConcatXLFMDataset:
         return sum(len(d) for d in self.datasets)
 
     def __getitem__(self, index):
+        # normalize negative indices GLOBALLY first: a raw negative index
+        # would fall through to the FIRST dataset's numpy indexing and
+        # silently return the wrong fish's frame
+        if index < 0:
+            index += len(self)
+        if index < 0:
+            raise IndexError(index)
         for d in self.datasets:
             if index < len(d):
                 return d[index]
@@ -252,6 +280,10 @@ class ConcatXLFMDataset:
 
     def locate(self, index):
         """(dataset_index, local_index) for a global index."""
+        if index < 0:
+            index += len(self)
+        if index < 0:
+            raise IndexError(index)
         for di, d in enumerate(self.datasets):
             if index < len(d):
                 return di, index

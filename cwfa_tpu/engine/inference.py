@@ -69,6 +69,13 @@ class XLFMReconstructor:
                 self._unet_q = jax.tree_util.tree_map(
                     jnp.asarray,
                     model.quantize_unet_pack(params, mstate, calib_views))
+            if use_int8_cond and cfg.force_all_steps_NF:
+                # the views conditions are zeroed under force_all_steps_NF
+                # (CWFA.py:892-894): the cond nets never run, so the pack
+                # would be calibrated, paid for, and silently unused
+                print("warning: use_int8_cond has no effect with "
+                      "force_all_steps_NF=1 (cond nets are bypassed); "
+                      "skipping calibration", flush=True)
             if use_int8_cond and not cfg.force_all_steps_NF:
                 # int8 y-intermediate for the cond nets' 3-D pairs.
                 # Measured NEUTRAL at batch 16 (49.22 vs 49.08 ms/frame,
@@ -133,7 +140,11 @@ class XLFMReconstructor:
 
     def warmup(self, batch_size: int, img_hw):
         dummy = jnp.zeros((batch_size,) + tuple(img_hw), jnp.float32)
-        self(dummy).block_until_ready()
+        # tiny-slice fetch, not block_until_ready: the latter is not a
+        # reliable execution barrier through the remote tunnel (CLAUDE.md)
+        # — a warmup that returns early would queue the first real batch
+        # behind the still-running warmup execution
+        np.asarray(self(dummy)[0, 0, 0, :4])
 
     def throughput(self, raw_images, n_repeats: int = 10):
         """frames/sec measured by enqueueing n_repeats executions and

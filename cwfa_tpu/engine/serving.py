@@ -37,6 +37,9 @@ class ServiceStats:
     t_start: float = field(default_factory=time.perf_counter)
     fetch_seconds: float = 0.0
     fetch_bytes: int = 0
+    # dispatch-to-COLLECTION times: collection happens at the next flush
+    # (double-buffered) or an idle poll, so in watch mode these include up
+    # to one poll interval on top of device execution + fetch
     batch_latencies: list = field(default_factory=list)
 
     @property
@@ -137,19 +140,27 @@ class ReconstructionService:
         for i, (_, f) in enumerate(batch):
             frames[i] = f
         self.stats.padded_frames += self._bs - n
-        # collect the PREVIOUS in-flight batch first: the new dispatch below
-        # then executes while the caller prepares the next frames
-        self._collect()
+        # dispatch the NEW batch first, then fetch the previous one: the
+        # device executes batch N while the host drains batch N-1's
+        # ~100 MB/frame volumes (collect-first serialized t_fetch + t_exec
+        # — measured round 4: the tunnel fetch is seconds per batch)
         t0 = time.perf_counter()
         out = self._recon(frames)          # async dispatch
+        prev = self._inflight
         self._inflight = (out, [fid for fid, _ in batch], n, t0)
         self.stats.batches += 1
+        if prev is not None:
+            self._collect_entry(prev)
 
     def _collect(self):
         if self._inflight is None:
             return
-        out, ids, n, t0 = self._inflight
+        entry = self._inflight
         self._inflight = None
+        self._collect_entry(entry)
+
+    def _collect_entry(self, entry):
+        out, ids, n, t0 = entry
         t1 = time.perf_counter()
         host = np.asarray(out)             # device->host fetch (sync point)
         self.stats.fetch_seconds += time.perf_counter() - t1
@@ -212,9 +223,18 @@ def serve_directory(reconstructor, batch_size, img_hw, in_dir, out_dir,
             progressed = True
             if stack.ndim == 2:
                 stack = stack[None]
-            for page in stack:
-                svc.submit(page, frame_id=os.path.splitext(name)[0]
-                           if stack.shape[0] == 1 else f"{name}_{done}")
+            base = os.path.splitext(name)[0]
+            for page_ix, page in enumerate(stack):
+                fid = base if stack.shape[0] == 1 else f"{base}_p{page_ix}"
+                try:
+                    svc.submit(page, frame_id=fid)
+                except ValueError as e:
+                    # wrong-shaped page (thumbnail, different ROI): skip the
+                    # file's remaining pages like an unreadable file — one
+                    # stray .tif must not kill the watch-mode service
+                    print(f"serve: skipped {name!r} page {page_ix}: {e}",
+                          flush=True)
+                    break
                 done += 1
                 if limit and done >= limit:
                     break

@@ -287,3 +287,67 @@ def test_center_crop_vol_pads_small_volumes():
     # crop case unchanged (reference h//2 - th//2 start)
     out2 = _center_crop_vol_spatial(v, (2, 4))
     np.testing.assert_array_equal(out2, v[:, 1:3, 1:5])
+
+
+def test_volume_nan_and_inf_cleared(tmp_path):
+    """One NaN or Inf voxel in a GT volume TIFF (a common RL-deconvolution
+    artifact) must be zeroed at load — it would otherwise poison the
+    dataset-wide mean/std and surface as NaN loss far from the cause."""
+    from cwfa_tpu.data.tiff import read_tiff_stack, write_tiff_stack
+    info = make_synthetic_dataset(str(tmp_path), n_fish=1, n_frames=2,
+                                  n_depths=8, vol_side=32, img_size=96,
+                                  n_lenslets=4, view_size=32)
+    fish = info["fish_dirs"][0] + "/SLNet_preprocessed"
+    import glob as _g
+    vf = sorted(_g.glob(fish + "/XLFM_stack/*000.tif"))[0]
+    vol = read_tiff_stack(vf)
+    vol[0, 0, 0] = np.nan
+    vol[1, 1, 1] = np.inf
+    write_tiff_stack(vf, vol)
+    ds = load_xlfm_data(fish, info["lenslet_file"], vol_shape=(32, 32, 8),
+                        img_shape=(96, 96), images_to_use=[0, 1],
+                        n_depths_to_fill=8)
+    assert np.all(np.isfinite(ds.vols))
+    stats = ConcatXLFMDataset(ds).get_statistics()
+    assert np.isfinite(stats.mean_vols) and np.isfinite(stats.std_vols)
+
+
+def test_concat_negative_index_is_global(tmp_path):
+    info = make_synthetic_dataset(str(tmp_path), n_fish=2, n_frames=2,
+                                  n_depths=8, vol_side=32, img_size=96,
+                                  n_lenslets=4, view_size=32)
+    dss = [load_xlfm_data(fd + "/SLNet_preprocessed", info["lenslet_file"],
+                          vol_shape=(32, 32, 8), img_shape=(96, 96),
+                          images_to_use=[0, 1], n_depths_to_fill=8,
+                          ds_id=f"f{i}")
+           for i, fd in enumerate(info["fish_dirs"])]
+    cat = ConcatXLFMDataset(*dss)
+    views_neg, vol_neg, _, _ = cat[-1]
+    views_last, vol_last, _, _ = cat[len(cat) - 1]
+    np.testing.assert_array_equal(views_neg, views_last)
+    np.testing.assert_array_equal(vol_neg, vol_last)
+    assert cat.locate(-1) == (1, 1)
+    import pytest as _pt
+    with _pt.raises(IndexError):
+        cat[-(len(cat) + 1)]
+
+
+def test_volume_glob_requires_exact_frame_number(tmp_path):
+    """*005.tif must not match a 1005-suffixed file (>=1001-frame
+    datasets): a missing volume raises instead of silently pairing the
+    wrong frame."""
+    import shutil
+    info = make_synthetic_dataset(str(tmp_path), n_fish=1, n_frames=2,
+                                  n_depths=8, vol_side=32, img_size=96,
+                                  n_lenslets=4, view_size=32)
+    fish = info["fish_dirs"][0] + "/SLNet_preprocessed"
+    import glob as _g
+    vols = sorted(_g.glob(fish + "/XLFM_stack/*.tif"))
+    # frame 1's volume renamed to a 1001-suffix: suffix-glob would match it
+    v1 = [v for v in vols if v.endswith("001.tif")][0]
+    shutil.move(v1, v1.replace("001.tif", "1001.tif"))
+    import pytest as _pt
+    with _pt.raises(FileNotFoundError):
+        load_xlfm_data(fish, info["lenslet_file"], vol_shape=(32, 32, 8),
+                       img_shape=(96, 96), images_to_use=[0, 1],
+                       n_depths_to_fill=8)

@@ -93,3 +93,25 @@ def test_serve_cli_meshed_matches_single_device(rig):
         # driver dryrun's sharded-vs-single check (__graft_entry__.py)
         rel = np.max(np.abs(a - b)) / max(np.max(np.abs(a)), 1e-9)
         assert rel < 5e-2, (n, rel)
+
+
+def test_serve_cli_survives_wrong_shaped_frame(rig):
+    """A readable TIFF with the wrong frame shape (a stray thumbnail)
+    must be skipped with a message, not kill the service (round-4 review
+    fix: submit's ValueError was previously raised outside the quarantine
+    try/except)."""
+    from cwfa_tpu.cli import serve
+    in2 = rig["root"] / "frames_bad"
+    in2.mkdir()
+    rng = np.random.RandomState(3)
+    for i in range(2):
+        write_tiff_stack(str(in2 / f"cam_{i}.tif"),
+                         (rng.rand(IMG, IMG) * 100).astype(np.float32))
+    write_tiff_stack(str(in2 / "thumb.tif"),
+                     (rng.rand(16, 16) * 100).astype(np.float32))
+    out_dir = rig["root"] / "vols_bad"
+    args = list(rig["base"])
+    args[args.index("--in_dir") + 1] = str(in2)
+    serve.main(args + ["--out_dir", str(out_dir)])
+    vols = sorted(os.listdir(out_dir))
+    assert len(vols) == 2           # the two good frames; thumb skipped
