@@ -73,7 +73,10 @@ def main(argv=None):
     if cfg.pretrain_models_path:
         trainer.load_checkpoints(cfg.pretrain_models_path)
 
-    result = detect_ood(trainer, ds)
+    # tag='train': the detect pass primes the trainer's device-side GT
+    # pyramids + NLL caches under the tag the finetune epochs read, so the
+    # whole detect->finetune->re-score cycle uploads each volume ONCE
+    result = detect_ood(trainer, ds, tag="train")
     print(f"OOD: {int(result.is_ood.sum())}/{len(result.is_ood)} frames "
           f"flagged (NLL > {result.threshold} at step {result.step_used})")
     report = {
@@ -97,9 +100,9 @@ def main(argv=None):
         losses = finetune_on_novel(
             trainer, ds, optimize_steps=tuple(
                 int(s) for s in cfg.fine_tune_optimize_steps),
-            verbose=True)
+            verbose=True, reuse_caches=True)
         report["finetune_losses"] = {str(k): v for k, v in losses.items()}
-        post = detect_ood(trainer, ds)
+        post = detect_ood(trainer, ds, tag="train")
         report["scores_after_finetune"] = post.scores.tolist()
         print(f"after finetune: {int(post.is_ood.sum())} frames still OOD")
 

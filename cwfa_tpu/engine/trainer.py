@@ -151,6 +151,20 @@ class CWFATrainer:
 
         # host-side caches
         self.gt_cache: dict = {"train": {}, "val": {}, "test": {}}
+        # normalized-views cache: (tag, ix) -> device (1, n_views, S, S).
+        # The raw 2160^2 frame upload + jitted 29-view extraction run ONCE
+        # per frame; every later epoch/eval reads the device array directly
+        # (round-4 finding: the feed loop re-uploaded ~10x the necessary
+        # bytes per frame — device compute was 2.3% of the measured finetune
+        # wall, docs/results/ood_finetune_r4.log).  Byte-bounded like the
+        # GT-pyramid cache (~30 MB/frame at flagship -> ~68 frames at 2 GiB).
+        self.views_cache: dict = {}
+        self.views_cache_max_bytes: int = 2 << 30
+        self._views_cache_order: list = []
+        # host->device transfer accounting (uploads of the two big payloads;
+        # the regression tests assert the second epoch re-uploads NOTHING)
+        self.transfer_log = {"frame_uploads": 0, "volume_uploads": 0,
+                             "h2d_bytes": 0}
         # GT-pyramid cache bound (bytes, across all tags): entries are
         # device arrays ~2x the volume bytes (~200 MB/frame at flagship) —
         # unbounded, a 250-frame eval would exhaust HBM.  Insertion-order
@@ -193,6 +207,20 @@ class CWFATrainer:
             v = extract_views(raw_views, self.view_indices)
             return (v - mean_i) / std_i
         self._views_norm = views_norm_fn
+        # normalized views depend on the statistics this program closes
+        # over — a rebuild (e.g. checkpoint-restored stats) invalidates them
+        self.views_cache = {}
+        self._views_cache_order = []
+
+        @jax.jit
+        def nll_from_cache_fn(params, cache):
+            """Per-sample NLL refresh from cached device pyramids (no
+            volume re-upload; see CWFAModel.nll_from_pyramid).  Inf/NaN
+            replaced by the reference's 1e15 sentinel (CWFA.py:825-828)."""
+            nlls = model.nll_from_pyramid(params, cache)
+            return jnp.nan_to_num(jnp.stack(nlls), nan=1e15,
+                                  posinf=1e15, neginf=1e15)
+        self._nll_from_cache = nll_from_cache_fn
 
         @jax.jit
         def pyramid_fn(params, vol_raw, key):
@@ -336,6 +364,7 @@ class CWFATrainer:
             # args batch-over-'data' / rows-over-'space', replicates the
             # rest, and passes static ints through untouched)
             self._pyramid = _sts(m, self._pyramid, {1})
+            self._nll_from_cache = _sts(m, self._nll_from_cache, {1})
             self._lrnn_step = _sts(m, self._lrnn_step, {3, 4, 5})
             self._flow_steps = [_sts(m, f, {4, 5, 6, 7})
                                 for f in self._flow_steps]
@@ -389,13 +418,39 @@ class CWFATrainer:
             loaded.append(di)
         return loaded
 
-    def _sample_inputs(self, dataset: ConcatXLFMDataset, ix: int):
+    def _views_for(self, dataset: ConcatXLFMDataset, tag: str, ix: int):
+        """Normalized device views for one frame, cached across epochs.
+        The upload + jitted extraction run only on a miss (the reference
+        re-feeds and re-extracts every sample every epoch, CWFA.py:789-797 —
+        structurally redundant; the frame is invariant)."""
+        cached = self.views_cache.get((tag, ix))
+        if cached is not None:
+            return cached
         di, li = dataset.locate(ix)
-        ds = dataset.datasets[di]
-        raw = jnp.asarray(ds.stacked_views[li][None])       # (1, H, W)
-        vol = jnp.asarray(ds.vols[li][None])                # (1, D, S, S)
-        views_n = self._views_norm(raw)
-        return views_n, vol, self.mean_caches[di]
+        raw_np = np.asarray(dataset.datasets[di].stacked_views[li][None])
+        self.transfer_log["frame_uploads"] += 1
+        self.transfer_log["h2d_bytes"] += raw_np.nbytes
+        views_n = self._views_norm(jnp.asarray(raw_np))
+        self.views_cache[(tag, ix)] = views_n
+        self._views_cache_order.append((tag, ix))
+        total = sum(int(v.nbytes) for v in self.views_cache.values())
+        while total > self.views_cache_max_bytes \
+                and len(self._views_cache_order) > 1:
+            k = self._views_cache_order.pop(0)
+            e = self.views_cache.pop(k, None)
+            if e is not None:
+                total -= int(e.nbytes)
+        return views_n
+
+    def _upload_vol(self, dataset: ConcatXLFMDataset, ix: int):
+        """(1, D, S, S) GT volume -> device, accounted.  Call only when the
+        GT pyramid is about to be (re)computed — the pyramid cache otherwise
+        makes this upload dead weight (round-4 VERDICT weak #1)."""
+        di, li = dataset.locate(ix)
+        vol_np = np.asarray(dataset.datasets[di].vols[li][None])
+        self.transfer_log["volume_uploads"] += 1
+        self.transfer_log["h2d_bytes"] += vol_np.nbytes
+        return jnp.asarray(vol_np)
 
     def _batches(self, dataset: ConcatXLFMDataset):
         """Per-dataset mini-batches of cfg.batch_size frame indices (frames
@@ -417,12 +472,14 @@ class CWFATrainer:
     def _batch_inputs(self, dataset: ConcatXLFMDataset, di: int, ixs: list,
                       tag: str):
         """Stack a mini-batch: normalized views, GT pyramid levels (from the
-        per-sample cache), and the fish's mean caches broadcast to batch."""
+        per-sample cache), and the fish's mean caches broadcast to batch.
+        Volume uploads happen lazily inside _gt_pyramid (cache-miss only);
+        frame uploads once per frame (_views_for)."""
         views, pyrs = [], []
         for ix in ixs:
-            views_n, vol, _ = self._sample_inputs(dataset, ix)
-            views.append(views_n)
-            pyrs.append(self._gt_pyramid(tag, ix, vol))
+            views.append(self._views_for(dataset, tag, ix))
+            pyrs.append(self._gt_pyramid(
+                tag, ix, lambda ix=ix: self._upload_vol(dataset, ix)))
         views_n = views[0] if len(ixs) == 1 else jnp.concatenate(views)
         n_lvl = len(pyrs[0])
         gt_cache = [pyrs[0][l] if len(ixs) == 1
@@ -447,11 +504,39 @@ class CWFATrainer:
                      or cache[ix][0] != self._params_version)]
         if not stale:
             return
-        batch = self._gather_vols(dataset, stale)
-        nlls, _, _, _ = self._pyramid(self.params, batch, self._next_key())
-        nlls = np.asarray(nlls)
-        for j, ix in enumerate(stale):
-            cache[ix] = (self._params_version, nlls[:, j])
+        # frames whose GT pyramid is device-cached refresh WITHOUT touching
+        # the host: the cached levels are exactly what forward_pyramid would
+        # re-derive (parameter-independent Haar averages), so
+        # nll_from_pyramid on them equals the full forward's NLLs for the
+        # same noise draw (tests/test_trainer_feed.py) — and costs zero
+        # h2d bytes where the old path re-uploaded every volume per refresh
+        gcache = self.gt_cache.setdefault(tag, {})
+        cached_ixs = [ix for ix in stale if ix in gcache]
+        missing = [ix for ix in stale if ix not in gcache]
+        if cached_ixs:
+            pyrs = [self.gt_cache[tag][ix] for ix in cached_ixs]
+            n_lvl = len(pyrs[0])
+            batch_cache = [pyrs[0][l] if len(pyrs) == 1
+                           else jnp.concatenate([p[l] for p in pyrs])
+                           for l in range(n_lvl)]
+            nlls = np.asarray(self._nll_from_cache(self.params, batch_cache))
+            for j, ix in enumerate(cached_ixs):
+                cache[ix] = (self._params_version, nlls[:, j])
+        if missing:
+            batch = self._gather_vols(dataset, missing)
+            self.transfer_log["volume_uploads"] += len(missing)
+            self.transfer_log["h2d_bytes"] += batch.nbytes
+            nlls, pyr, _, _ = self._pyramid(self.params, batch,
+                                            self._next_key())
+            nlls = np.asarray(nlls)
+            for j, ix in enumerate(missing):
+                cache[ix] = (self._params_version, nlls[:, j])
+                # prime the pyramid cache too (per-sample device slices):
+                # an OOD detect pass then hands its pyramids straight to
+                # the finetune epochs — the volume never re-uploads
+                self.gt_cache[tag][ix] = [lvl[j:j + 1] for lvl in pyr]
+                self._gt_cache_order.append((tag, ix))
+            self._evict_gt_cache()
 
     def _frame_nll(self, dataset, tag: str, ix: int):
         """Per-frame NLL from the version-stamped cache (filled by
@@ -465,19 +550,24 @@ class CWFATrainer:
     @staticmethod
     def _gather_vols(dataset, ixs: list) -> np.ndarray:
         """(len(ixs), D, S, S) GT volumes straight from the dataset —
-        volumes only; _sample_inputs would also run the jitted 29-view
-        extraction just to discard it.  Shared with engine/ood.py."""
+        host numpy; callers account the upload in transfer_log."""
         vols = []
         for ix in ixs:
             di, li = dataset.locate(ix)
             vols.append(np.asarray(dataset.datasets[di].vols[li][None]))
         return vols[0] if len(vols) == 1 else np.concatenate(vols)
 
-    def _gt_pyramid(self, tag: str, ix: int, vol):
-        if ix not in self.gt_cache[tag]:
+    def _gt_pyramid(self, tag: str, ix: int, vol_thunk):
+        """``vol_thunk``: zero-arg callable producing the (1, D, S, S)
+        device volume — called ONLY on a cache miss, so a pyramid-cache hit
+        costs zero host->device bytes (round-4 VERDICT weak #1: the upload
+        used to run unconditionally before the cache check)."""
+        gcache = self.gt_cache.setdefault(tag, {})
+        if ix not in gcache:
+            vol = vol_thunk() if callable(vol_thunk) else vol_thunk
             nlls, cache, priors, ljs = self._pyramid(self.params, vol,
                                                      self._next_key())
-            self.gt_cache[tag][ix] = cache
+            gcache[ix] = cache
             # per-frame NLLs ride along (the batched evaluator reuses them
             # instead of re-running the forward, VERDICT r2 Weak #2);
             # version-stamped: they depend on the flow params, so any

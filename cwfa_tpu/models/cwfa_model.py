@@ -161,6 +161,31 @@ class CWFAModel:
             gt_cache.append(v)
         return nlls, gt_cache, priors, logjacs
 
+    def nll_from_pyramid(self, params, gt_cache):
+        """Per-sample NLLs recomputed from an existing wavelet pyramid.
+
+        Equivalent to the nlls of ``forward_pyramid`` given the SAME input
+        (the pyramid levels are parameter-independent Haar averages, so
+        ``gt_cache[k]`` IS the volume forward_pyramid feeds step k,
+        CWFA.py:194-195) — but takes the cached levels as inputs instead of
+        re-deriving them from the raw volume.  This is the NLL-refresh path
+        the trainer uses after parameter updates: it removes the per-epoch
+        host->device volume re-upload (the cached levels already live on
+        device).  Returns a list of (B,) arrays, one per flow step.
+        """
+        b = gt_cache[0].shape[0]
+        nlls = []
+        for k, spec in enumerate(self.step_specs):
+            v = gt_cache[k]
+            cshape = (b, spec.c_flow) + v.shape[2:]
+            zeros = jnp.zeros(cshape, v.dtype)
+            z, avg, logdet = cwf_step_forward(spec, params["flow"][k], v,
+                                              zeros, zeros)
+            zf = z.astype(jnp.float32)
+            prior_b = 0.5 * jnp.sum(zf ** 2, axis=tuple(range(1, zf.ndim)))
+            nlls.append((prior_b - logdet) / (float(avg.size) / b))
+        return nlls
+
     def step_nll(self, params, k, gt_level, c_views, c_mean):
         """Conditioned NLL of one flow step for training (CWFA.py:966-978):
         re-encode the GT level with the real conditions."""
