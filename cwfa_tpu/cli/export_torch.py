@@ -68,8 +68,34 @@ def main(argv=None):
     params, mstate, stats, max_epoch = restore_params_from_payloads(
         found, model, params, mstate)
 
+    # Lion momenta ride in our msgpack checkpoints (trainer.save_checkpoints)
+    # — export them in lion_pytorch layout so a reference-side resume can
+    # keep them (the reference itself always serializes optimizer=None,
+    # CWFA.py:1173,1283; this is strictly more than it preserves).
+    from cwfa_tpu.engine.checkpoints import restore_like
+    from cwfa_tpu.engine.trainer import make_optimizers
+    tx_flow, _, tx_lrnn = make_optimizers(model)
+    opt_momenta = {"flow": [None] * nf, "lrnn": None}
+    for step, (_, fname) in found.items():
+        payload, _, _ = load_step_checkpoint(fname)
+        osd = payload.get("optimizer_state_dict")
+        if not osd:
+            continue
+        ix = step - 1
+        try:
+            if ix < nf:
+                st = restore_like(tx_flow.init(params["flow"][ix]),
+                                  osd["flow"])
+                opt_momenta["flow"][ix] = st[0].mu
+            else:
+                st = restore_like(tx_lrnn.init(params["lrnn"]), osd)
+                opt_momenta["lrnn"] = st[0].mu
+        except (KeyError, ValueError, TypeError):
+            pass    # architecture drift: params still export, momenta skip
+
     written = export_torch_checkpoints(args.output_path, cfg, model, params,
-                                       mstate, stats=stats, epoch=max_epoch)
+                                       mstate, stats=stats, epoch=max_epoch,
+                                       opt_momenta=opt_momenta)
     for w in written:
         print(w)
     print(f"exported {len(written)} reference checkpoints "

@@ -167,8 +167,103 @@ def export_lrnn(p: dict, mstate: dict | None = None) -> dict:
     return sd
 
 
+# --------------------------------------------------------------- optimizer
+#
+# The reference's own serialize calls ALWAYS pass optimizer=None
+# (CWFA.py:1173 passes the literal None; CWFA.py:1283 likewise), and its
+# checkpoint-load path reads only INN/condition state dicts
+# (CWFA.py:514-522) before building FRESH optimizers (CWFA.py:586-613) —
+# so reference checkpoints never carry momenta and resume never reads
+# them.  We export REAL Lion momenta anyway, in lion_pytorch's state-dict
+# layout ({'state': {i: {'exp_avg': t}}, 'param_groups': [...]}) keyed by
+# torch ``parameters()`` order, so a reference-side fork that does resume
+# (networks.py:727 shows the intended slot) starts with the TPU momenta.
+# The resume-step equivalence is proven in tests/test_torch_export.py.
+
+_SUBNET_PARAM_ORDER = (
+    # wavelet_flow_subnetwork registration order (networks.py:620-639):
+    # block_grad_up, block1, block12, block2, [act], block4, [act],
+    # block6, block7, block72 — activations carry no params
+    "block_grad_up", "block1", "block12", "block2.0", "block2.2",
+    "block4.0", "block4.2", "block6.0", "block6.2", "block7.1", "block72.1")
+
+
+def graph_param_names(sd: dict) -> list:
+    """Keys of an exported GraphINN state dict in the reference's
+    ``parameters()`` order (module_list index ascending; within each CAT
+    module the single ``subnet`` in its registration order; weight before
+    bias).  FrEIA registers permutation index vectors as
+    ``nn.Parameter(requires_grad=False)`` (fixed_transforms.py:34-35,
+    INN_utils.py:73-75), so ``.perm``/``.perm_inv`` occupy parameter
+    positions (perm before perm_inv) — they index into the optimizer's
+    param list but never carry state (no gradients).  Verified against
+    live ``named_parameters()`` in tests/test_reference_parity.py."""
+    def key(name):
+        parts = name.split(".")
+        mi = int(parts[1])
+        if parts[2] in ("perm", "perm_inv"):
+            return (mi, 0, parts[2] == "perm_inv")
+        rest = ".".join(parts[3:])          # after 'subnet.'
+        base, leaf = rest.rsplit(".", 1)
+        return (mi, _SUBNET_PARAM_ORDER.index(base), leaf != "weight")
+    return sorted(sd, key=key)
+
+
+def lrnn_param_names(sd: dict) -> list:
+    """Keys of an exported Encoder state dict in the reference's
+    ``parameters()`` order (LRNN registration: conv3d (2x ConvNeXt),
+    attention_3d, deconv = [proj, UNet(down_path, up_path, last)] —
+    networks.py:505-541; BatchNorm running stats are buffers, PReLU's
+    single weight is a parameter)."""
+    bufs = (".running_mean", ".running_var", ".num_batches_tracked")
+
+    def key(name):
+        base, leaf = name.rsplit(".", 1)
+        wl = 0 if leaf == "weight" else 1
+        p = base.split(".")                 # e.g. net.conv3d.0.m.1
+        if p[1] == "conv3d":                # ConvNeXt: input, m.0, m.1, m.2
+            inner = 0 if p[3] == "input" else 1 + int(p[4])
+            return (0, int(p[2]), 0, inner, 0, wl)
+        if p[1] == "attention_3d":          # m.0, m.2
+            return (1, 0, 0, int(p[3]), 0, wl)
+        if p[2] == "0":                     # deconv.0 projection conv
+            return (2, 0, 0, 0, 0, wl)
+        if p[3] == "down_path":             # deconv.1 = UNet
+            return (2, 1, 0, int(p[4]), int(p[6]), wl)
+        if p[3] == "up_path":               # up before conv_block
+            j = -1 if p[5] == "up" else int(p[7])
+            return (2, 1, 1, int(p[4]), j, wl)
+        if p[3] == "last":
+            return (2, 1, 2, int(p[4]), 0, wl)
+        raise KeyError(f"unranked LRNN param {name}")
+    return sorted((k for k in sd if not k.endswith(bufs)), key=key)
+
+
+def export_lion_state(momenta_sd: dict, names: list, lr: float,
+                      weight_decay: float) -> dict:
+    """lion_pytorch-layout optimizer state dict: one group, exp_avg per
+    param index in ``names`` order (its defaults are lr/betas/weight_decay;
+    optax.lion and lion_pytorch share the exact update rule —
+    p <- p - lr*(sign(b1*mu + (1-b1)*g) + wd*p); mu <- b2*mu + (1-b2)*g —
+    so momenta transfer losslessly).  'param_names' rides along for
+    self-description; torch's Optimizer.load_state_dict ignores extra
+    keys."""
+    import torch
+    state = {i: {"exp_avg": torch.from_numpy(
+        np.ascontiguousarray(momenta_sd[n]))} for i, n in enumerate(names)
+        if not n.endswith((".perm", ".perm_inv"))}   # fixed index params
+        # never receive gradients -> a real lion_pytorch state has no
+        # entry at their positions
+    return {"state": state,
+            "param_groups": [{"lr": float(lr), "betas": (0.9, 0.99),
+                              "weight_decay": float(weight_decay),
+                              "params": list(range(len(names)))}],
+            "param_names": list(names)}
+
+
 def export_torch_checkpoints(out_dir: str, cfg, model, params,
-                             mstate=None, stats=None, epoch: int = 0):
+                             mstate=None, stats=None, epoch: int = 0,
+                             opt_momenta=None):
     """Write the full per-step reference checkpoint set
     (``model_step_<s>__ep_<e>``, s = 1..INN_max_down_steps+1; flow steps
     carry INN_state_dict + their cond net, the last step the Encoder) —
@@ -177,8 +272,17 @@ def export_torch_checkpoints(out_dir: str, cfg, model, params,
     The 'args' payload is an argparse.Namespace built from the config
     with the per-step ``INN_down_steps`` override the reference applies
     (CWFA.py:485-486); 'training_statistics' carries the 6 normalization
-    scalars when ``stats`` is given; 'optimizer_state_dict' is None (Lion
-    momenta do not transfer across frameworks — documented divergence).
+    scalars when ``stats`` is given.
+
+    opt_momenta: optional ``{"flow": [mu_tree|None per step],
+    "lrnn": mu_tree|None}`` of optax-Lion first moments (params-shaped).
+    When given, 'optimizer_state_dict' is written in lion_pytorch layout
+    for the optimizer the reference serializes per step — the flow
+    optimizer (GraphINN params only; the cond optimizer is separate and
+    never serialized, CWFA.py:608+1173) or the LRNN optimizer.  Momenta
+    of the reference's unused subnet halves export as zeros (never
+    updated).  When None (default), the slot is None — exactly what the
+    reference's own serialize calls always write (CWFA.py:1173,1283).
     """
     import argparse
     import os
@@ -197,29 +301,44 @@ def export_torch_checkpoints(out_dir: str, cfg, model, params,
         ix = s - 1
         args_ns = argparse.Namespace(**{**cfg.to_dict(),
                                         "INN_down_steps": s})
+        opt_sd = None
         if ix < nf:
+            inn_sd_np = export_graph_inn(model.step_specs[ix],
+                                         params["flow"][ix])
             inn_sd = {k: torch.from_numpy(np.ascontiguousarray(v))
-                      for k, v in export_graph_inn(
-                          model.step_specs[ix],
-                          params["flow"][ix]).items()}
+                      for k, v in inn_sd_np.items()}
             cond_sd = {k: torch.from_numpy(np.ascontiguousarray(v))
                        for k, v in export_cond_network(
                            params["cond"][ix]).items()}
+            mu = (opt_momenta or {}).get("flow", [None] * nf)[ix]
+            if mu is not None:
+                mom_sd = export_graph_inn(model.step_specs[ix], mu)
+                opt_sd = export_lion_state(
+                    mom_sd, graph_param_names(inn_sd_np),
+                    lr=cfg.learning_rate,
+                    weight_decay=cfg.learning_weight_decay)
         else:
             inn_sd = None
             # model-level mstate nests the LRNN state under 'lrnn'
             # (CWFAModel.init); export_lrnn expects the {'unet': ...} level
             lstate = (mstate or {}).get("lrnn", mstate)
+            cond_sd_np = export_lrnn(params["lrnn"], lstate)
             cond_sd = {k: torch.from_numpy(np.ascontiguousarray(v))
-                       for k, v in export_lrnn(params["lrnn"],
-                                               lstate).items()}
+                       for k, v in cond_sd_np.items()}
+            mu = (opt_momenta or {}).get("lrnn")
+            if mu is not None:
+                mom_sd = export_lrnn(mu, None)
+                opt_sd = export_lion_state(
+                    mom_sd, lrnn_param_names(cond_sd_np),
+                    lr=cfg.learning_rate_first_step,
+                    weight_decay=cfg.learning_weight_decay)
         path = os.path.join(out_dir, f"model_step_{s}__ep_{epoch}")
         torch.save({
             "epoch": epoch,
             "args": args_ns,
             "INN_state_dict": inn_sd,
             "condition_state_dict": cond_sd,
-            "optimizer_state_dict": None,
+            "optimizer_state_dict": opt_sd,
             "training_statistics": ts,
         }, path)
         written.append(path)

@@ -349,3 +349,27 @@ def test_export_roundtrip_lrnn(ref_modules, monkeypatch):
         a = enc(torch.from_numpy(x))[-1].numpy()
         b = fresh(torch.from_numpy(x))[-1].numpy()
     np.testing.assert_allclose(b, a, atol=1e-6)
+
+
+def test_param_name_order_matches_reference_parameters(converted,
+                                                       ref_modules):
+    """graph_param_names/lrnn_param_names (the index mapping of the
+    exported lion_pytorch optimizer state) must equal the LIVE reference
+    model's named_parameters() order — torch optimizers key state by
+    parameter position."""
+    from cwfa_tpu.engine.torch_export import (export_graph_inn, export_lrnn,
+                                              graph_param_names,
+                                              lrnn_param_names)
+    from cwfa_tpu.engine.torch_convert import convert_lrnn
+
+    sd = export_graph_inn(converted["spec"], converted["params"])
+    ref_order = [n for n, _ in converted["ref_graph"].named_parameters()]
+    assert graph_param_names(sd) == ref_order
+
+    torch.manual_seed(7)
+    enc = ref_modules.Encoder(4, 4, 1, [], use_bias=False).eval()
+    params, state = convert_lrnn(
+        {k: v.detach().numpy() for k, v in enc.state_dict().items()})
+    lsd = export_lrnn(params, state)
+    ref_order = [n for n, _ in enc.named_parameters()]
+    assert lrnn_param_names(lsd) == ref_order
