@@ -75,9 +75,10 @@ def native_available() -> bool:
     return bool(_load_library())
 
 
-def read_tiff_stack_native(path: str, pages=None) -> np.ndarray | None:
+def read_tiff_stack_native(path: str, pages=None,
+                           dtype=np.float32) -> np.ndarray | None:
     """Native multipage read; returns None if unsupported (caller falls back
-    to the PIL reader)."""
+    to the PIL reader).  dtype=None preserves the file's native dtype."""
     lib = _load_library()
     if not lib:
         return None
@@ -99,7 +100,10 @@ def read_tiff_stack_native(path: str, pages=None) -> np.ndarray | None:
                     h, p, arr.ctypes.data_as(ctypes.c_char_p)) != 0:
                 return None
             out.append(arr)
-        return np.stack(out).astype(np.float32) if out else None
+        if not out:
+            return None
+        stacked = np.stack(out)
+        return stacked if dtype is None else stacked.astype(dtype)
     finally:
         lib.tiff_close(h)
 

@@ -112,9 +112,15 @@ def make_synthetic_dataset(root: str, n_fish: int = 2, n_frames: int = 4,
     for fi in range(n_fish):
         vols, centers, traces = synthetic_volume_sequence(
             n_frames, n_depths, vol_side, seed=seed + 17 * fi)
-        imgs = np.asarray(xlfm_forward_project(
-            jnp.asarray(vols), otf, full_hw, psf_hw=(img_size, img_size)))
-        imgs = np.array(imgs[:, 0])
+        # project ONE frame at a time: at flagship scale (96x512^2 volumes,
+        # 2160^2 canvas) the all-frames batch alone exceeds HBM (measured:
+        # 21.75 G of arguments for 8 frames)
+        imgs = np.concatenate([
+            np.asarray(xlfm_forward_project(
+                jnp.asarray(vols[n:n + 1]), otf, full_hw,
+                psf_hw=(img_size, img_size),
+                depth_chunk=12 if img_size >= 1024 else None))[:, 0]
+            for n in range(n_frames)])
         imgs *= 5000.0 / max(imgs.max(), 1e-9)
 
         fish = os.path.join(root, f"fish_{fi}", "SLNet_preprocessed")

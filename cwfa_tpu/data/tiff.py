@@ -9,8 +9,11 @@ import numpy as np
 from PIL import Image
 
 
-def read_tiff_stack(path: str, pages=None) -> np.ndarray:
-    """Read a multipage TIFF into (n_pages, H, W) float32.
+def read_tiff_stack(path: str, pages=None, dtype=np.float32) -> np.ndarray:
+    """Read a multipage TIFF into (n_pages, H, W) arrays of ``dtype``
+    (default float32; ``dtype=None`` preserves the file's native dtype —
+    the serving feed path keeps uint16 camera frames 2 bytes/px across
+    the wire and casts on device).
 
     Uses the native C++ reader (native/tiffio.cpp) when available, falling
     back to PIL for formats it doesn't cover.
@@ -19,7 +22,7 @@ def read_tiff_stack(path: str, pages=None) -> np.ndarray:
     images_to_use ``key=`` selection, XLFMDataset.py:92)."""
     try:
         from cwfa_tpu.data.native_tiff import read_tiff_stack_native
-        out = read_tiff_stack_native(path, pages)
+        out = read_tiff_stack_native(path, pages, dtype=dtype)
         if out is not None:
             return out
     except Exception:
@@ -35,7 +38,8 @@ def read_tiff_stack(path: str, pages=None) -> np.ndarray:
             # pages, so an early break here would make the loaded frame
             # set depend on which reader is available
         im.seek(i)
-        page = np.asarray(im, dtype=np.float32)
+        page = np.asarray(im) if dtype is None \
+            else np.asarray(im, dtype=dtype)
         if page.size == 0:
             # a corrupt IFD can claim a page PIL renders as 0-size; a
             # silent (N, 0, 0) stack would surface as NaN statistics far

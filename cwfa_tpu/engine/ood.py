@@ -95,6 +95,7 @@ def finetune_on_novel(trainer: CWFATrainer, dataset: ConcatXLFMDataset,
     losses = {}
     # the stage-handoff cache is parameter-dependent — always drop it
     trainer.upsampled_cache = {}
+    trainer._upsampled_order = []
     if not reuse_caches:
         # novel data invalidates the GT-pyramid/NLL/views caches
         # (clear_gt_cache also drops the eviction log's tag entries)

@@ -45,6 +45,7 @@ from cwfa_tpu.engine.checkpoints import save_step_checkpoint
 from cwfa_tpu.engine.metrics import compute_step_performance
 from cwfa_tpu.models.cwfa_model import CWFAModel
 from cwfa_tpu.models.cwf import cwf_step_reverse
+from cwfa_tpu.parallel.distributed import to_host
 
 
 def make_optimizers(model: CWFAModel):
@@ -175,7 +176,14 @@ class CWFATrainer:
         self.gt_cache_max_bytes: int = 4 << 30
         self._gt_cache_order: list = []     # (tag, ix) insertion log
         self.nll_cache: dict = {"train": {}, "val": {}, "test": {}}
+        # stage-handoff cache: DEVICE arrays (fetching captures to host and
+        # re-uploading them cost a full tunnel round trip per stage
+        # transition at flagship — ~50 MB/frame each way); byte-bounded
+        # like the other device caches, misses recompute via
+        # _recon_to_level.  Parameter-dependent: cleared on novel data.
         self.upsampled_cache: dict = {}
+        self.upsampled_cache_max_bytes: int = 4 << 30
+        self._upsampled_order: list = []
         self.mean_caches: dict = {}      # dataset_ix -> list of cache levels
 
         # stats may be None for serving/eval-from-checkpoint construction;
@@ -519,7 +527,7 @@ class CWFATrainer:
             batch_cache = [pyrs[0][l] if len(pyrs) == 1
                            else jnp.concatenate([p[l] for p in pyrs])
                            for l in range(n_lvl)]
-            nlls = np.asarray(self._nll_from_cache(self.params, batch_cache))
+            nlls = to_host(self._nll_from_cache(self.params, batch_cache))
             for j, ix in enumerate(cached_ixs):
                 cache[ix] = (self._params_version, nlls[:, j])
         if missing:
@@ -528,7 +536,7 @@ class CWFATrainer:
             self.transfer_log["h2d_bytes"] += batch.nbytes
             nlls, pyr, _, _ = self._pyramid(self.params, batch,
                                             self._next_key())
-            nlls = np.asarray(nlls)
+            nlls = to_host(nlls)
             for j, ix in enumerate(missing):
                 cache[ix] = (self._params_version, nlls[:, j])
                 # prime the pyramid cache too (per-sample device slices):
@@ -573,7 +581,7 @@ class CWFATrainer:
             # version-stamped: they depend on the flow params, so any
             # training step invalidates them (the gt pyramid does not)
             self.nll_cache.setdefault(tag, {})[ix] = (
-                self._params_version, np.asarray(nlls)[:, 0])
+                self._params_version, to_host(nlls)[:, 0])
             self._gt_cache_order.append((tag, ix))
             self._evict_gt_cache()
         return self.gt_cache[tag][ix]
@@ -618,9 +626,33 @@ class CWFATrainer:
         cached = self.upsampled_cache.get(ix)
         if cached is not None and cached.shape[1] == (
                 self.cfg.n_depths // (2 ** (stage + 1))):
-            return jax.device_put(cached)
+            # device array (captured without a fetch); multi-process
+            # captures are host numpy (see _capture_upsampled) — re-place
+            return cached if hasattr(cached, "devices") \
+                else jnp.asarray(cached)
         return self._recon_to_level(self.params, self.mstate, views_n,
                                     mean_caches, self._next_key(), stage + 1)
+
+    def _capture_upsampled(self, ix, device_slice):
+        """Store a stage output for the next (finer) stage — kept ON DEVICE
+        (the old host round trip cost a full tunnel fetch+re-upload per
+        stage transition); byte-bounded, oldest-first eviction (an evicted
+        frame recomputes via _recon_to_level on its first finer-stage
+        batch)."""
+        if not getattr(device_slice, "is_fully_addressable", True):
+            # multi-process: the slice spans hosts; gather it (collective —
+            # every process captures the same ixs in the same order)
+            device_slice = to_host(device_slice)
+        if ix not in self.upsampled_cache:
+            self._upsampled_order.append(ix)
+        self.upsampled_cache[ix] = device_slice
+        total = sum(int(v.nbytes) for v in self.upsampled_cache.values())
+        while total > self.upsampled_cache_max_bytes \
+                and len(self._upsampled_order) > 1:
+            old = self._upsampled_order.pop(0)
+            e = self.upsampled_cache.pop(old, None)
+            if e is not None:
+                total -= int(e.nbytes)
 
     def _stage_input_batch(self, ixs, views_n, mean_caches_1, stage):
         """Batched _stage_input: per-sample cache hits, per-sample recompute
@@ -651,9 +683,8 @@ class CWFATrainer:
                 self.params = {**self.params, "lrnn": lrnn_p}
                 self.mstate = {"lrnn": lrnn_s}
                 if capture:
-                    out = np.asarray(out)
                     for j, ix in enumerate(ixs):
-                        self.upsampled_cache[ix] = out[j:j + 1]
+                        self._capture_upsampled(ix, out[j:j + 1])
             else:
                 k = stage
                 # train_with_gt_low_res (CWFA.py:866-869): feed the GT
@@ -681,9 +712,8 @@ class CWFATrainer:
                 self.opt_flow[k], self.opt_cond[k] = of, oc
                 loss = full
                 if capture:
-                    recon = np.asarray(recon)
                     for j, ix in enumerate(ixs):
-                        self.upsampled_cache[ix] = recon[j:j + 1]
+                        self._capture_upsampled(ix, recon[j:j + 1])
                 self.log.add(f"loss_LL/step_{k}", nll, epoch)
             losses.append((float(loss), len(ixs)))
             if not np.isfinite(losses[-1][0]):
@@ -783,10 +813,10 @@ class CWFATrainer:
             t0 = time.perf_counter()
             volume, pyramid = self._recon_eval(self.params, self.mstate,
                                                views_n, mean_caches, key)
-            np.asarray(volume[0, 0, 0, :2])  # device sync barrier
+            to_host(volume[0, 0, 0, :2])  # device sync barrier
             dt = (time.perf_counter() - t0) / len(ixs)
-            pyr_np = [np.asarray(p) for p in pyramid]
-            gt_np = [np.asarray(g) for g in gt_cache]
+            pyr_np = [to_host(p) for p in pyramid]
+            gt_np = [to_host(g) for g in gt_cache]
             last_pyr_np, last_gt_np = pyr_np, gt_np
             for j, ix in enumerate(ixs):
                 res["times"].append(dt)

@@ -197,16 +197,23 @@ def rfft2_gemm(x, precision=None):
 
 
 @lru_cache(maxsize=64)
-def _hermitian_ck(wr: int, w: int):
-    """Hermitian real-output fold weights over the rfft bins:
-    out[m] = Re(sum_k c_k X_k W^{+mk}) with c_k = 2 except DC (and the
-    Nyquist bin for even W).  Shared by both inverse paths so the fold
-    semantics can never diverge."""
+def _hermitian_ck_np(wr: int, w: int):
     ck = np.full(wr, 2.0, np.float32)
     ck[0] = 1.0
     if w % 2 == 0:
         ck[wr - 1] = 1.0
-    return jnp.asarray(ck)
+    return ck
+
+
+def _hermitian_ck(wr: int, w: int):
+    """Hermitian real-output fold weights over the rfft bins:
+    out[m] = Re(sum_k c_k X_k W^{+mk}) with c_k = 2 except DC (and the
+    Nyquist bin for even W).  Shared by both inverse paths so the fold
+    semantics can never diverge.  Only the NUMPY weights are lru_cached —
+    caching the jnp array leaked a tracer when the first call for a given
+    (wr, w) happened inside a traced scope (lax.map in the depth-chunked
+    projection) and poisoned every later call (UnexpectedTracerError)."""
+    return jnp.asarray(_hermitian_ck_np(wr, w))
 
 
 def irfft2_gemm_pair(xr, xi, s, precision=None):

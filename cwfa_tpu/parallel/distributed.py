@@ -87,6 +87,21 @@ def global_batch_array(local: np.ndarray, sharding):
     return jax.make_array_from_process_local_data(sharding, local)
 
 
+def to_host(x) -> np.ndarray:
+    """``np.asarray`` that also works on MULTI-PROCESS global arrays.
+
+    A batch-sharded output of an SPMD program spans processes; plain
+    ``np.asarray`` raises on non-fully-addressable arrays.  This gathers
+    the full value to every host (``process_allgather``; a collective —
+    every process must call it, which holds in the trainer because all
+    processes run the same loop).  Single-process (including the virtual
+    multi-device mesh) it is exactly ``np.asarray``."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def assemble_global(x, sharding):
     """Place a host-replicated array under ``sharding`` in a way that works
     on one process AND many: every process holds the identical full ``x``

@@ -72,6 +72,13 @@ def sharded_train_step(mesh: Mesh, train_step_fn, batch_args_ix):
         # unhashable jax Array)
         if not hasattr(x, "ndim") or getattr(x, "ndim", 0) == 0:
             return x
+        # multi-process: an already-GLOBAL array (e.g. a cached pyramid
+        # produced by an earlier sharded program) cannot go through the
+        # per-shard assembly below (its host slices are not addressable);
+        # pass it through — jit accepts any input sharding and inserts the
+        # reshard itself if the program wants a different one
+        if not getattr(x, "is_fully_addressable", True):
+            return x
         if want_shard and getattr(x, "ndim", 0) >= 4 \
                 and x.shape[0] % n_data == 0:
             if n_space > 1 and x.shape[2] % n_space == 0:

@@ -140,6 +140,59 @@ def main():
     np.testing.assert_allclose(np.asarray(leaf_sh), np.asarray(leaf_lo),
                                rtol=1e-4, atol=1e-6)
 
+    # (5): a short REAL CWFATrainer.fit across the two processes (round-4
+    # VERDICT item 6): same synthetic dataset built in each process (seeded
+    # generation), mesh-wrapped trainer vs the unsharded local oracle —
+    # per-epoch losses and the final evaluate metrics must agree.  This
+    # exercises the fit loop's host-side caching (GT pyramids, NLL cache,
+    # upsampled capture, views cache) against multi-process global arrays.
+    import tempfile
+
+    from cwfa_tpu.data import (ConcatXLFMDataset, load_xlfm_data,
+                               make_synthetic_dataset, make_view_indices)
+    from cwfa_tpu.engine.trainer import CWFATrainer
+
+    tmp = tempfile.mkdtemp(prefix=f"dist_fit_p{pid}_")
+    info = make_synthetic_dataset(tmp, n_fish=1, n_frames=4, n_depths=8,
+                                  vol_side=16, img_size=48, n_lenslets=4,
+                                  view_size=16, seed=3, write_psf=False)
+    ds = load_xlfm_data(info["fish_dirs"][0] + "/SLNet_preprocessed",
+                        info["lenslet_file"], vol_shape=(16, 16, 8),
+                        img_shape=(48, 48), images_to_use=[0, 1, 2, 3],
+                        n_depths_to_fill=8, ds_id="fish_0")
+    cat = ConcatXLFMDataset(ds)
+    stats = cat.get_statistics()
+    fit_cfg = CWFAConfig(n_depths=8, volume_side_size=16, n_lenslets=4,
+                         INN_max_down_steps=3, INN_n_blocks=2,
+                         INN_internal_chans=8, INN_cond_chans=4,
+                         epochs=3, eval_every=3, batch_size=4,
+                         save_tiff_volumes=0).decode_lrs()
+    fit_model = CWFAModel.build(fit_cfg)
+    vidx = make_view_indices(ds.lenslet_coords, (48, 48), (16, 16))
+
+    tr_o = CWFATrainer(fit_model, stats, vidx, seed=11)           # oracle
+    tr_s = CWFATrainer(fit_model, stats, vidx, seed=11, mesh=mesh)
+    for epoch in range(3):
+        lo = tr_o.train_epoch(cat, epoch)
+        ls = tr_s.train_epoch(cat, epoch)
+        np.testing.assert_allclose(ls, lo, rtol=2e-4, atol=1e-5)
+    ro = tr_o.evaluate(cat, "train", save_volumes=False)
+    rs = tr_s.evaluate(cat, "train", save_volumes=False)
+    np.testing.assert_allclose(np.asarray(rs["psnr"]),
+                               np.asarray(ro["psnr"]), atol=0.5)
+    # Lion is sign-based: a near-zero gradient whose sign flips under the
+    # cross-process reduction order moves that element by a full +-2*lr
+    # (observed: exactly 4.42e-5 = 2 x 2.21e-5 on 1/8 elements of one
+    # leaf).  Allow a few such flips in magnitude; losses/PSNR above pin
+    # the semantic equivalence.
+    from cwfa_tpu.parallel.distributed import to_host
+    lr_tol = 3 * fit_cfg.learning_rate
+    for leaf_o, leaf_s in zip(
+            jax.tree_util.tree_leaves(tr_o.params),
+            jax.tree_util.tree_leaves(tr_s.params)):
+        np.testing.assert_allclose(to_host(leaf_s), to_host(leaf_o),
+                                   rtol=2e-4, atol=lr_tol)
+
     print(f"DIST_WORKER_OK {pid}", flush=True)
 
 

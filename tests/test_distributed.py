@@ -139,7 +139,7 @@ def test_two_process_rendezvous_psum_and_assembly():
     timed_out = False
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=480)
         except subprocess.TimeoutExpired:
             timed_out = True
             for q in procs:
