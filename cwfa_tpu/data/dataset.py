@@ -168,8 +168,14 @@ class XLFMDataset:
             first = read_tiff_stack(files[0])          # (D, H, W)
             d_have = first.shape[0]
             d_use = min(n_depths_to_fill, d_have)
+            # float16 volume storage (the reference's dtype,
+            # XLFMDataset.py:78 ``.half()``): halves host RAM AND the
+            # host->device upload bytes per GT volume (~59 MB vs 118 at
+            # flagship); the device normalize upcasts to f32 (weak-typed
+            # scalar stats), statistics accumulate in f64 (stats.py), and
+            # the clamp ceiling 50000 sits inside f16 range (65504)
             self.vols = np.zeros((self.n_images, d_use) + first.shape[1:],
-                                 np.float32)
+                                 np.float16)
             for i in range(self.n_images):
                 vol = first if i == 0 else read_tiff_stack(files[i])
                 # clear NaN as well as Inf: one NaN voxel (a common RL-
@@ -311,8 +317,11 @@ class ConcatXLFMDataset:
                                  mean_vols=mv, std_vols=sv)
 
     def mean_volume(self, dataset_ix: int) -> np.ndarray:
-        """Per-fish mean of the GT volumes (CWFA.py:645)."""
-        return self.datasets[dataset_ix].vols.mean(0, keepdims=True)
+        """Per-fish mean of the GT volumes (CWFA.py:645).  f32 accumulation
+        regardless of the f16 storage dtype (numpy would otherwise
+        accumulate a float16 mean in float16)."""
+        return self.datasets[dataset_ix].vols.astype(np.float32).mean(
+            0, keepdims=True)
 
     def add_random_shot_noise_to_dataset(self, signal_power_range=(32 ** 2,
                                                                    32 ** 2),

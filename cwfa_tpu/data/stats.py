@@ -31,8 +31,13 @@ class DatasetStatistics:
     def compute(cls, images: np.ndarray, vols: np.ndarray,
                 images_sparse: np.ndarray | None = None):
         """images: (N, H, W); vols: (N, D, H, W).  std uses the unbiased
-        (ddof=1) estimator like torch.Tensor.std."""
-        ims = images_sparse if images_sparse is not None else images
+        (ddof=1) estimator like torch.Tensor.std.  Accumulates in f64
+        (volumes are stored f16 — naive np.mean would accumulate a
+        float16 mean in float16)."""
+        images = np.asarray(images, np.float64)
+        vols = np.asarray(vols, np.float64)
+        ims = (np.asarray(images_sparse, np.float64)
+               if images_sparse is not None else images)
         return cls(
             mean_imgs=float(np.mean(images)),
             std_imgs=float(np.std(images, ddof=1)),

@@ -136,8 +136,12 @@ class ReconstructionService:
         t0 = time.perf_counter()
         # keep the camera's NATIVE dtype across the wire (uint16 halves the
         # feed bytes vs f32 — the machinery's measured bound on a tunnel
-        # rig); the cast to f32 happens on device at batch assembly
+        # rig); the cast to f32 happens on device at batch assembly.
+        # EXCEPT float16: the axon backend hangs at compile on any f16 HLO
+        # (round-5 platform finding) — convert f16 frames host-side
         frame = np.asarray(frame)
+        if frame.dtype == np.float16:
+            frame = frame.astype(np.float32)
         if frame.shape != self._img_hw:
             raise ValueError(f"frame shape {frame.shape} != {self._img_hw}")
         if frame_id is None:

@@ -241,7 +241,10 @@ class CWFATrainer:
             batched eval/OOD paths can score frames individually."""
             from cwfa_tpu.models.cwfa_model import check_empty_depths
             k1, k2 = jax.random.split(key)
-            v = (vol_raw - mean_v) / std_v
+            # explicit f32: volumes upload in the dataset's f16 storage
+            # dtype (half the h2d bytes) and jax's weak-typed scalar stats
+            # would otherwise keep the whole pyramid in f16
+            v = (vol_raw.astype(jnp.float32) - mean_v) / std_v
             v = check_empty_depths(k1, v)
             v = v + 0.001 * jax.random.normal(k2, v.shape, v.dtype)
             nlls, cache, priors, ljs = model.forward_pyramid(
@@ -450,12 +453,27 @@ class CWFATrainer:
                 total -= int(e.nbytes)
         return views_n
 
+    @staticmethod
+    def _wire_dtype(vol_np: np.ndarray) -> np.ndarray:
+        """Half-width wire format for volume uploads.  Volumes are STORED
+        float16 (the reference's dtype) but the axon backend HANGS at
+        compile on any f16 HLO (measured round 5 — a trivial
+        f16->f32 convert never returns; cf. the FFT/complex limitation,
+        CLAUDE.md); bfloat16 is TPU-native at the same 2 bytes/voxel, so
+        f16 host storage converts to bf16 for the transfer and the device
+        program upcasts to f32."""
+        if vol_np.dtype == np.float16:
+            import ml_dtypes
+            return vol_np.astype(ml_dtypes.bfloat16)
+        return vol_np
+
     def _upload_vol(self, dataset: ConcatXLFMDataset, ix: int):
         """(1, D, S, S) GT volume -> device, accounted.  Call only when the
         GT pyramid is about to be (re)computed — the pyramid cache otherwise
         makes this upload dead weight (round-4 VERDICT weak #1)."""
         di, li = dataset.locate(ix)
-        vol_np = np.asarray(dataset.datasets[di].vols[li][None])
+        vol_np = self._wire_dtype(
+            np.asarray(dataset.datasets[di].vols[li][None]))
         self.transfer_log["volume_uploads"] += 1
         self.transfer_log["h2d_bytes"] += vol_np.nbytes
         return jnp.asarray(vol_np)
@@ -563,7 +581,8 @@ class CWFATrainer:
         for ix in ixs:
             di, li = dataset.locate(ix)
             vols.append(np.asarray(dataset.datasets[di].vols[li][None]))
-        return vols[0] if len(vols) == 1 else np.concatenate(vols)
+        out = vols[0] if len(vols) == 1 else np.concatenate(vols)
+        return CWFATrainer._wire_dtype(out)
 
     def _gt_pyramid(self, tag: str, ix: int, vol_thunk):
         """``vol_thunk``: zero-arg callable producing the (1, D, S, S)

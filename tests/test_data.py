@@ -137,6 +137,9 @@ def test_concat_dataset_reference_api(tmp_path):
                               n_depths_to_fill=8)
 
     a, b = load(0), load(1)
+    # volumes stored fp16 (the reference's dtype, XLFMDataset.py:78) —
+    # halves host RAM and the per-volume h2d upload
+    assert a.vols.dtype == np.float16
     # make the two fish clearly different in scale
     b.stacked_views *= 2.0
     b.vols *= 3.0
@@ -157,8 +160,13 @@ def test_concat_dataset_reference_api(tmp_path):
     m = cat.mean()
     s = cat.std()
     assert m.shape == (2, 8, 32, 32) and s.shape == m.shape
-    np.testing.assert_allclose(m[1], b.vols.mean(0), rtol=1e-6)
-    np.testing.assert_allclose(s[0], a.vols.std(0, ddof=1), rtol=1e-5)
+    # f32 oracle accumulation (vols are STORED f16 — the reference's dtype;
+    # a plain f16 .mean() would quantize the oracle itself)
+    np.testing.assert_allclose(m[1], b.vols.astype(np.float32).mean(0),
+                               rtol=1e-6)
+    np.testing.assert_allclose(s[0],
+                               a.vols.astype(np.float32).std(0, ddof=1),
+                               rtol=1e-5)
 
     # get_max: global maxes, cached
     mx = cat.get_max()
